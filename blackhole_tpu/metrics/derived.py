@@ -1,0 +1,135 @@
+"""Derived black hole quantities: horizons, ISCO, ergosphere, frame
+dragging, time dilation, effective potential, photon sphere, shadow.
+
+TPU-native equivalent of /root/reference/src/spacetime.c:192-196, 242-366,
+548-611.  All functions are differentiable w.r.t. (M, a) so they can sit
+inside inverse-rendering losses.  Also implements `shadow_radius`, which
+the reference declares (raytracer.h:286) but never defines.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from blackhole_tpu.constants import EPSILON
+
+
+def time_dilation(r, M):
+    """Schwarzschild gravitational time dilation 1/sqrt(1 - rs/r)
+    (spacetime.c:192-196).  Clamped below at the horizon."""
+    rs = 2.0 * M
+    f = jnp.maximum(1.0 - rs / jnp.maximum(r, rs + EPSILON), EPSILON)
+    return 1.0 / jnp.sqrt(f)
+
+
+def isco_radius(M, a_over_M, prograde=True):
+    """Bardeen-Press-Teukolsky ISCO (spacetime.c:285-308, 548-556).
+
+    a_over_M: dimensionless spin (sign ignored; `prograde` selects branch).
+    Returns 6M at a=0.
+    """
+    chi = jnp.where(prograde, a_over_M, -a_over_M)
+    one = jnp.ones_like(chi)
+    z1 = 1.0 + jnp.cbrt(jnp.maximum(1.0 - chi * chi, 0.0)) * (
+        jnp.cbrt(one + chi) + jnp.cbrt(one - chi)
+    )
+    z2 = jnp.sqrt(3.0 * chi * chi + z1 * z1)
+    inner = jnp.maximum((3.0 - z1) * (3.0 + z1 + 2.0 * z2), 0.0)
+    sign = jnp.where(chi >= 0.0, 1.0, -1.0)
+    return M * (3.0 + z2 - sign * jnp.sqrt(inner))
+
+
+def event_horizon(M, a_over_M, charge=0.0):
+    """Outer horizon r+ = M + sqrt(M^2 - a^2 - Q^2) (spacetime.c:565-567)."""
+    a = a_over_M * M
+    return M + jnp.sqrt(jnp.maximum(M * M - a * a - charge * charge, 0.0))
+
+
+def inner_horizon(M, a_over_M, charge=0.0):
+    """Inner horizon r- = M - sqrt(M^2 - a^2 - Q^2)."""
+    a = a_over_M * M
+    return M - jnp.sqrt(jnp.maximum(M * M - a * a - charge * charge, 0.0))
+
+
+def ergosphere_radius(theta, M, a_over_M):
+    """r_ergo(theta) = M + sqrt(M^2 - a^2 cos^2 theta)
+    (spacetime.c:314-326, 577-579)."""
+    a = a_over_M * M
+    ct = jnp.cos(theta)
+    return M + jnp.sqrt(jnp.maximum(M * M - a * a * ct * ct, 0.0))
+
+
+def frame_dragging_omega(r, theta, M, a_over_M):
+    """Frame-dragging angular velocity omega = -g_tphi / g_phph
+    = 2 M r a / (Sigma (r^2+a^2) + 2 M r a^2 sin^2)  (spacetime.c:590-611)."""
+    a = a_over_M * M
+    st, ct = jnp.sin(theta), jnp.cos(theta)
+    sigma = r * r + a * a * ct * ct
+    denom = sigma * (r * r + a * a) + 2.0 * M * r * a * a * st * st
+    return 2.0 * M * r * a / jnp.maximum(denom, EPSILON)
+
+
+def effective_potential(r, l, M, a_over_M=0.0):
+    """Effective potential for massive test particles
+    (spacetime.c:242-278).  Schwarzschild branch:
+        V_eff = (1 - rs/r)(1 + l^2/r^2).
+    Kerr branch mirrors the reference's simplified equatorial form."""
+    rs = 2.0 * M
+    a = a_over_M * M
+    r = jnp.maximum(r, rs + EPSILON)
+    schw = (1.0 - rs / r) * (1.0 + (l * l) / (r * r))
+    E = 1.0
+    kerr = (E * E - 1.0) + (2.0 * M / r) * (
+        l * l / (r * r) - 2.0 * M * a * l / (r * r * r)
+    )
+    return jnp.where(a_over_M == 0.0, schw, kerr)
+
+
+def photon_sphere_radius(M):
+    """Schwarzschild photon sphere at r = 3M (closed form)."""
+    return 3.0 * M
+
+
+def shadow_radius(M, a_over_M=0.0):
+    """Apparent shadow (critical impact parameter).
+
+    Schwarzschild: b_crit = 3*sqrt(3) M = sqrt(27) M — the closed-form
+    oracle used by the trace tests.  For Kerr, returns the mean of the
+    prograde/retrograde critical equatorial impact parameters
+    b = -(r^3 - 3 M r^2 + a^2 r + a^2 M)/(a (r - M)) evaluated at the
+    prograde/retrograde photon-orbit radii.
+
+    Implements what raytracer.h:286-288 declares but never defines.
+    """
+    a = a_over_M * M
+
+    def photon_orbit_r(sign):
+        # r_ph = 2M (1 + cos(2/3 arccos(∓a/M)))  (Bardeen 1972)
+        return 2.0 * M * (
+            1.0 + jnp.cos(2.0 / 3.0 * jnp.arccos(jnp.clip(-sign * a_over_M, -1.0, 1.0)))
+        )
+
+    def b_crit(rp, sign):
+        # Impact parameter of the spherical photon orbit (equatorial).
+        num = rp * rp * rp - 3.0 * M * rp * rp + a * a * rp + a * a * M
+        den = a * (rp - M)
+        schw_b = jnp.sqrt(27.0) * M
+        return jnp.where(
+            jnp.abs(a) < 1e-8,
+            schw_b,
+            jnp.abs(-num / jnp.where(jnp.abs(den) < EPSILON, EPSILON, den)),
+        )
+
+    r_pro = photon_orbit_r(+1.0)
+    r_ret = photon_orbit_r(-1.0)
+    return 0.5 * (b_crit(r_pro, +1.0) + b_crit(r_ret, -1.0))
+
+
+def keplerian_orbital_velocity(r, M):
+    """Circular-orbit speed v = sqrt(M/r) (blackhole_api.c:42-48)."""
+    return jnp.sqrt(M / jnp.maximum(r, EPSILON))
+
+
+def hawking_temperature(M):
+    """T_H = 1/(8 pi M) in geometric units (particle_sim.c:444)."""
+    return 1.0 / (8.0 * jnp.pi * M)

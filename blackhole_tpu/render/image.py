@@ -1,0 +1,118 @@
+"""Image rendering: supersampling, chunked tracing, temporal accumulation.
+
+TPU-native equivalent of the reference's per-pixel sampling loop
+(/root/reference/src/raytracer.c:1044-1167) and the visualizer's temporal
+accumulation buffer (/root/reference/src/visualization/renderer.cpp:1691-1877).
+
+The image is traced in row-chunks: each chunk runs its own bounded
+while_loop, so spatially-coherent chunks whose rays all terminate early
+(far from the shadow edge) stop integrating early — the lockstep-batch
+analog of the CPU code's per-ray early exit.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from blackhole_tpu.geom.types import Camera, Scene
+from blackhole_tpu.render import camera as cam
+from blackhole_tpu.render import trace
+
+
+@partial(jax.jit, static_argnames=("width", "height", "spp", "jitter",
+                                   "chunks"))
+def render_image(
+    scene: Scene,
+    camera: Camera,
+    width: int = 256,
+    height: int = 256,
+    spp: int = 1,
+    jitter: str = "halton",
+    chunks: int = 1,
+):
+    """Render an RGB image (H, W, 3) in [0, 1].
+
+    spp: samples per pixel, accumulated with Halton sub-pixel jitter
+    (raytracer.c:1096-1165).  chunks: split the pixel batch into this many
+    sequentially-traced chunks (early-exit granularity).
+    """
+    n_pix = width * height
+    assert n_pix % chunks == 0, "chunks must divide width*height"
+
+    def trace_flat(origins, dirs):
+        if chunks == 1:
+            return trace.trace_rays(origins, dirs, scene)
+        o = origins.reshape(chunks, n_pix // chunks, 3)
+        d = dirs.reshape(chunks, n_pix // chunks, 3)
+        hit = jax.lax.map(
+            lambda od: trace.trace_rays(od[0], od[1], scene), (o, d)
+        )
+        return jax.tree_util.tree_map(
+            lambda x: x.reshape((n_pix,) + x.shape[2:]), hit
+        )
+
+    acc = jnp.zeros((height, width, 3))
+    for s in range(spp):
+        ox, oy = cam.jitter_offsets(jnp.int32(s), spp, method=jitter)
+        origins, dirs = cam.generate_rays(camera, width, height, ox, oy)
+        hit = trace_flat(origins.reshape(-1, 3), dirs.reshape(-1, 3))
+        acc = acc + hit.color.reshape(height, width, 3)
+    return acc / spp
+
+
+@partial(jax.jit, static_argnames=("width", "height"))
+def render_hits(scene: Scene, camera: Camera, width: int, height: int):
+    """Render and return the full Hit record grid (H, W) — the analog of
+    filling a RayTraceHit per pixel."""
+    origins, dirs = cam.generate_rays(camera, width, height)
+    return trace.trace_rays(origins, dirs, scene)
+
+
+def temporal_accumulate(history, frame, frame_index, blend_factor=0.1,
+                        max_frames=32):
+    """Exponential temporal accumulation (renderer.cpp:1691-1877).
+
+    history: running average (H, W, 3); frame: new frame; frame_index:
+    int frames accumulated so far.  Early frames blend fast (alpha 1.0 on
+    the first frame, 0.5 on the second), then settle to `blend_factor`,
+    and accumulation saturates at `max_frames` — matching the reference's
+    adaptive-alpha schedule (renderer.cpp:39-48).
+
+    Returns (new_history, new_frame_index).
+    """
+    alpha = jnp.where(
+        frame_index == 0,
+        1.0,
+        jnp.where(frame_index == 1, 0.5, blend_factor),
+    )
+    alpha = jnp.where(frame_index >= max_frames, blend_factor, alpha)
+    out = history * (1.0 - alpha) + frame * alpha
+    return out, jnp.minimum(frame_index + 1, max_frames)
+
+
+def render_accumulated(scene: Scene, camera: Camera, width, height,
+                       n_frames=8, blend_factor=0.1, max_frames=32):
+    """Progressive multi-frame accumulation as a pure scan: each frame
+    uses the next Halton jitter index (renderer.cpp progressive loop)."""
+
+    def frame_fn(carry, s):
+        history, idx = carry
+        ox, oy = cam.jitter_offsets(s, n_frames)
+        origins, dirs = cam.generate_rays(camera, width, height, ox, oy)
+        hit = trace.trace_rays(
+            origins.reshape(-1, 3), dirs.reshape(-1, 3), scene
+        )
+        frame = hit.color.reshape(height, width, 3)
+        history, idx = temporal_accumulate(
+            history, frame, idx, blend_factor, max_frames
+        )
+        return (history, idx), None
+
+    init = (jnp.zeros((height, width, 3)), jnp.int32(0))
+    (out, _), _ = jax.lax.scan(
+        frame_fn, init, jnp.arange(n_frames, dtype=jnp.int32)
+    )
+    return out

@@ -1,0 +1,139 @@
+"""Metric tensors and derived quantities vs closed-form values.
+
+Oracles: textbook Schwarzschild/Kerr formulas and the
+Bardeen-Press-Teukolsky ISCO (reference: spacetime.c:285-308).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from blackhole_tpu.metrics import derived, kerr, schwarzschild
+
+
+class TestKerrMetric:
+    def test_reduces_to_schwarzschild_at_zero_spin(self):
+        r, theta, M = 7.3, 1.1, 1.0
+        g = kerr.metric(r, theta, M, 0.0)
+        s = schwarzschild.metric(r, theta, M)
+        np.testing.assert_allclose(g.g_tt, s.g_tt, rtol=1e-12)
+        np.testing.assert_allclose(g.g_rr, s.g_rr, rtol=1e-12)
+        np.testing.assert_allclose(g.g_thth, s.g_thth, rtol=1e-12)
+        np.testing.assert_allclose(g.g_phph, s.g_phph, rtol=1e-12)
+        np.testing.assert_allclose(g.g_tphi, 0.0, atol=1e-14)
+
+    @pytest.mark.parametrize("a", [0.0, 0.5, 0.9, 0.998])
+    def test_inverse_metric_is_inverse(self, a):
+        r, theta, M = 5.7, 0.9, 1.0
+        g = kerr.metric_matrix(
+            jnp.float64(r), jnp.float64(theta), jnp.float64(M), jnp.float64(a)
+        )
+        gi = kerr.inverse_metric_matrix(
+            jnp.float64(r), jnp.float64(theta), jnp.float64(M), jnp.float64(a)
+        )
+        np.testing.assert_allclose(g @ gi, np.eye(4), atol=1e-10)
+
+    def test_metric_signature(self):
+        g = kerr.metric(10.0, 1.3, 1.0, 0.7)
+        assert g.g_tt < 0
+        assert g.g_rr > 0 and g.g_thth > 0 and g.g_phph > 0
+
+    def test_frame_dragging_cross_term_sign(self):
+        # Prograde frame dragging: g_tphi < 0 for a > 0 in BL form.
+        g = kerr.metric(4.0, jnp.pi / 2, 1.0, 0.9)
+        assert g.g_tphi < 0
+
+
+class TestDerived:
+    def test_schwarzschild_isco_is_6M(self):
+        np.testing.assert_allclose(derived.isco_radius(1.0, 0.0), 6.0, rtol=1e-12)
+        np.testing.assert_allclose(derived.isco_radius(2.0, 0.0), 12.0, rtol=1e-12)
+
+    def test_kerr_isco_known_values(self):
+        # Bardeen, Press & Teukolsky (1972): a/M = 0.9 prograde ISCO.
+        np.testing.assert_allclose(
+            derived.isco_radius(1.0, 0.9, prograde=True), 2.320883, rtol=1e-5
+        )
+        # Extremal limit: prograde -> M, retrograde -> 9M.
+        np.testing.assert_allclose(
+            derived.isco_radius(1.0, 1.0, prograde=True), 1.0, atol=1e-3
+        )
+        np.testing.assert_allclose(
+            derived.isco_radius(1.0, 1.0, prograde=False), 9.0, atol=1e-3
+        )
+
+    def test_retrograde_isco_larger(self):
+        pro = derived.isco_radius(1.0, 0.6, prograde=True)
+        ret = derived.isco_radius(1.0, 0.6, prograde=False)
+        assert float(ret) > float(pro) > 0
+
+    def test_event_horizons(self):
+        np.testing.assert_allclose(derived.event_horizon(1.0, 0.0), 2.0)
+        # Kerr a=0.9: r+ = 1 + sqrt(1 - 0.81)
+        np.testing.assert_allclose(
+            derived.event_horizon(1.0, 0.9), 1.0 + np.sqrt(0.19), rtol=1e-12
+        )
+        # Charged: r+ = M + sqrt(M^2 - a^2 - Q^2)  (spacetime.c:352-361)
+        np.testing.assert_allclose(
+            derived.event_horizon(1.0, 0.5, 0.3),
+            1.0 + np.sqrt(1 - 0.25 - 0.09),
+            rtol=1e-12,
+        )
+
+    def test_ergosphere(self):
+        # Equator: 2M regardless of spin; pole: r+.
+        np.testing.assert_allclose(
+            derived.ergosphere_radius(jnp.pi / 2, 1.0, 0.9), 2.0, rtol=1e-12
+        )
+        np.testing.assert_allclose(
+            derived.ergosphere_radius(0.0, 1.0, 0.9),
+            derived.event_horizon(1.0, 0.9),
+            rtol=1e-12,
+        )
+
+    def test_time_dilation(self):
+        # 1/sqrt(1 - 2/10) at r=10, M=1  (spacetime.c:192-196)
+        np.testing.assert_allclose(
+            derived.time_dilation(10.0, 1.0), 1.0 / np.sqrt(0.8), rtol=1e-12
+        )
+
+    def test_shadow_radius_schwarzschild(self):
+        np.testing.assert_allclose(
+            derived.shadow_radius(1.0, 0.0), np.sqrt(27.0), rtol=1e-6
+        )
+
+    def test_photon_sphere(self):
+        np.testing.assert_allclose(derived.photon_sphere_radius(1.0), 3.0)
+
+    def test_frame_dragging_omega(self):
+        # omega = -g_tphi / g_phph must match the closed form.
+        r, th, M, a_om = 4.0, 1.2, 1.0, 0.8
+        g = kerr.metric(r, th, M, a_om * M)
+        np.testing.assert_allclose(
+            derived.frame_dragging_omega(r, th, M, a_om),
+            -g.g_tphi / g.g_phph,
+            rtol=1e-10,
+        )
+
+    def test_keplerian_velocity(self):
+        np.testing.assert_allclose(
+            derived.keplerian_orbital_velocity(20.0, 1.0),
+            np.sqrt(1.0 / 20.0),
+            rtol=1e-12,
+        )
+
+    def test_hawking_temperature(self):
+        np.testing.assert_allclose(
+            derived.hawking_temperature(1.0), 1.0 / (8 * np.pi), rtol=1e-12
+        )
+
+    def test_effective_potential_schwarzschild_minimum(self):
+        # Circular orbit at r with l^2 = M r^2/(r - 3M): V' = 0 there.
+        import jax
+
+        M, r0 = 1.0, 10.0
+        l = np.sqrt(M * r0**2 / (r0 - 3 * M))
+        dV = jax.grad(lambda r: derived.effective_potential(r, l, M))(
+            jnp.float64(r0)
+        )
+        np.testing.assert_allclose(dV, 0.0, atol=1e-10)
