@@ -1,0 +1,145 @@
+"""Headline benchmark: rays/s/chip, forward+backward, 1024x1024 Kerr render.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Workload (BASELINE.json config 4/primary metric): Kerr a=0.9, accretion
+disk 6..20M, all relativistic effects, 1024x1024 pinhole render,
+1000-step integration budget, float32; forward+backward = value_and_grad
+of a scalar image loss w.r.t. (mass, spin) through the checkpointed
+geodesic integrator.
+
+vs_baseline: the reference C engine (unmodified, built -O2 from
+/root/reference/src, its real physics path: Schwarzschild geodesics with
+the same camera / disk / 1000-step budget) measures 7223 rays/s
+single-thread forward-only on this container's host CPU (2 cores; its
+batch API is sequential — raytracer.c:795-804 — and OpenMP is advertised
+but not wired).  vs_baseline = our fwd+bwd rays/s per chip divided by
+that forward-only number.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+
+C_REFERENCE_RAYS_PER_S = 7223.1  # see module docstring for methodology
+
+WIDTH = HEIGHT = int(os.environ.get("BENCH_SIZE", "1024"))
+MAX_STEPS = int(os.environ.get("BENCH_STEPS", "1000"))
+CHUNKS = int(os.environ.get("BENCH_CHUNKS", "16"))
+REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from blackhole_tpu.geom.types import (
+        BlackHole, Camera, Disk, Scene, SimConfig,
+    )
+    from blackhole_tpu.grad import diff_trace
+    from blackhole_tpu.render import camera as cam
+    from blackhole_tpu.render import trace
+
+    platform = jax.devices()[0].platform
+
+    scene = Scene(
+        blackhole=BlackHole.create(1.0, 0.9),
+        disk=Disk.create(6.0, 20.0, 1.0, 1.0),
+        config=SimConfig.create(
+            time_step=0.1, max_ray_distance=150.0, max_steps=MAX_STEPS
+        ),
+        disk_enabled=True,
+    )
+    camera = Camera.create(
+        position=(0.0, -35.0, 12.0),
+        direction=(0.0, 35.0, -12.0),
+        up=(0.0, 0.0, 1.0),
+        fov_deg=22.0,
+    )
+    n_rays = WIDTH * HEIGHT
+    origins, dirs = cam.generate_rays(camera, WIDTH, HEIGHT)
+    o = origins.reshape(CHUNKS, n_rays // CHUNKS, 3)
+    d = dirs.reshape(CHUNKS, n_rays // CHUNKS, 3)
+
+    # --- forward-only (early-exit while_loop path) ---
+    @jax.jit
+    def fwd(mass, o, d):
+        s = dataclasses.replace(
+            scene, blackhole=dataclasses.replace(scene.blackhole, mass=mass)
+        )
+        hit = jax.lax.map(
+            lambda od: trace.trace_rays(od[0], od[1], s), (o, d)
+        )
+        return hit.color
+
+    # --- forward+backward w.r.t. (mass, spin) ---
+    # One jitted value_and_grad per chunk, accumulated on the host
+    # (gradient accumulation): keeps each device execution short, which
+    # also bounds peak memory for the checkpointed backward pass.
+    @jax.jit
+    def chunk_grad(mass, spin, o_blk, d_blk):
+        def loss(mass, spin):
+            s = dataclasses.replace(
+                scene,
+                blackhole=dataclasses.replace(
+                    scene.blackhole, mass=mass, spin=spin
+                ),
+            )
+            hit = diff_trace.trace_rays_diff(o_blk, d_blk, s)
+            return jnp.sum(hit.color) / (3.0 * n_rays)
+
+        return jax.value_and_grad(loss, argnums=(0, 1))(mass, spin)
+
+    def fwdbwd(mass, spin, o, d):
+        total, gm, gs = 0.0, 0.0, 0.0
+        for c in range(CHUNKS):
+            v, (g0, g1) = chunk_grad(mass, spin, o[c], d[c])
+            total += v
+            gm += g0
+            gs += g1
+        return total, (gm, gs)
+
+    def timeit(fn, *args):
+        """Each repeat perturbs mass in the last ulp-ish digit so a
+        caching remote backend cannot replay a previous result."""
+        out = fn(jnp.float32(1.0), *args)  # compile + warmup
+        jax.block_until_ready(out)
+        best = float("inf")
+        for k in range(REPEATS):
+            m = jnp.float32(1.0 + 1e-6 * (k + 1))
+            t0 = time.perf_counter()
+            out = fn(m, *args)
+            jax.block_until_ready(out)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_fwd = timeit(fwd, o, d)
+    spin = jnp.float32(0.9)
+    t_fwdbwd = timeit(lambda m, o, d: fwdbwd(m, spin, o, d), o, d)
+
+    rays_fwd = n_rays / t_fwd
+    rays_fwdbwd = n_rays / t_fwdbwd
+    print(
+        json.dumps(
+            {
+                "metric": "rays_per_s_fwdbwd_kerr_a0.9_"
+                          f"{WIDTH}x{HEIGHT}_{MAX_STEPS}steps",
+                "value": round(rays_fwdbwd, 1),
+                "unit": "rays/s/chip",
+                "vs_baseline": round(
+                    rays_fwdbwd / C_REFERENCE_RAYS_PER_S, 2
+                ),
+                "rays_per_s_fwd": round(rays_fwd, 1),
+                "platform": platform,
+                "n_devices": len(jax.devices()),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,127 @@
+"""Inverse rendering: recover scene parameters from a target image.
+
+The new capability that justifies the TPU build (BASELINE.json config 5;
+the reference C engine is forward-only): gradient-descend (mass, spin,
+disk radii, temperature scale, camera pose) against a rendered target
+using reverse-mode AD through the checkpointed geodesic integrator.
+
+Parameterization: physical parameters are optimized in an unconstrained
+space (log for positive quantities, scaled-tanh for spin) so optimizer
+steps can never leave the physical manifold (spin in [0, 1), positive
+radii/mass).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from blackhole_tpu.geom.types import BlackHole, Camera, Disk, Scene, SimConfig
+from blackhole_tpu.grad import diff_trace
+
+MAX_SPIN = 0.998  # Thorne limit; keeps Delta bounded away from 0.
+
+
+def pack_params(scene: Scene, camera: Camera) -> dict:
+    """Scene/camera -> unconstrained optimization pytree."""
+    bh, disk = scene.blackhole, scene.disk
+    return {
+        "log_mass": jnp.log(bh.mass),
+        "spin_raw": jnp.arctanh(jnp.clip(bh.spin / MAX_SPIN, 0.0, 0.999)),
+        "log_disk_inner": jnp.log(disk.inner_radius),
+        "log_disk_width": jnp.log(disk.outer_radius - disk.inner_radius),
+        "log_temp_scale": jnp.log(disk.temperature_scale),
+        "cam_position": camera.position,
+        "log_fov": jnp.log(camera.fov_deg),
+    }
+
+
+def unpack_params(params: dict, template_scene: Scene,
+                  template_camera: Camera) -> tuple[Scene, Camera]:
+    """Unconstrained pytree -> (Scene, Camera), other fields from templates."""
+    mass = jnp.exp(params["log_mass"])
+    spin = MAX_SPIN * jnp.tanh(params["spin_raw"])
+    inner = jnp.exp(params["log_disk_inner"])
+    outer = inner + jnp.exp(params["log_disk_width"])
+    bh = dataclasses.replace(
+        template_scene.blackhole, mass=mass, spin=spin
+    )
+    disk = dataclasses.replace(
+        template_scene.disk,
+        inner_radius=inner,
+        outer_radius=outer,
+        temperature_scale=jnp.exp(params["log_temp_scale"]),
+    )
+    scene = dataclasses.replace(template_scene, blackhole=bh, disk=disk)
+    camera = dataclasses.replace(
+        template_camera,
+        position=params["cam_position"],
+        fov_deg=jnp.exp(params["log_fov"]),
+    )
+    return scene, camera
+
+
+@partial(jax.jit, static_argnames=("width", "height"))
+def image_loss(params: dict, target, template_scene: Scene,
+               template_camera: Camera, width: int, height: int):
+    """0.5 * mean squared pixel error of the differentiable render."""
+    scene, camera = unpack_params(params, template_scene, template_camera)
+    img = diff_trace.render_image_diff(scene, camera, width, height)
+    return 0.5 * jnp.mean((img - target) ** 2)
+
+
+def make_train_step(optimizer: optax.GradientTransformation, width: int,
+                    height: int):
+    """Returns jitted step(params, opt_state, target, tmpl_scene, tmpl_cam)
+    -> (params, opt_state, loss)."""
+
+    @partial(jax.jit, static_argnames=())
+    def step(params, opt_state, target, template_scene, template_camera):
+        loss, grads = jax.value_and_grad(image_loss)(
+            params, target, template_scene, template_camera, width, height
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step
+
+
+def fit(
+    target,
+    init_scene: Scene,
+    init_camera: Camera,
+    width: int,
+    height: int,
+    steps: int = 100,
+    learning_rate: float = 3e-2,
+    optimize: tuple = ("log_mass", "spin_raw"),
+    callback=None,
+):
+    """Optimize the selected parameters against `target` (H, W, 3).
+
+    Non-selected parameters are frozen with a zero mask.  Returns
+    (scene, camera, losses)."""
+    params = pack_params(init_scene, init_camera)
+    mask = {k: (k in optimize) for k in params}
+    optimizer = optax.chain(
+        optax.masked(optax.adam(learning_rate), mask),
+        optax.masked(optax.set_to_zero(), {k: not v for k, v in mask.items()}),
+    )
+    opt_state = optimizer.init(params)
+    step_fn = make_train_step(optimizer, width, height)
+    losses = []
+    for i in range(steps):
+        params, opt_state, loss = step_fn(
+            params, opt_state, target, init_scene, init_camera
+        )
+        losses.append(float(loss))
+        if callback is not None:
+            callback(i, params, loss)
+    scene, camera = unpack_params(params, init_scene, init_camera)
+    return scene, camera, losses

@@ -75,13 +75,14 @@ def camera_basis(camera: Camera):
     return forward, right, up
 
 
-def generate_rays(camera: Camera, width: int, height: int,
-                  offset_x=0.5, offset_y=0.5):
-    """Primary rays for a width x height image.
+def generate_rays_for_rows(camera: Camera, width: int, height: int, rows,
+                           offset_x=0.5, offset_y=0.5):
+    """Primary rays for the given image rows (int array (R,)).
 
-    Returns (origins, directions), each (H, W, 3).  NDC mapping matches
-    raytracer.c:1026-1038: y flipped so row 0 is the top of the image,
-    plane_height = 2 tan(fov/2), plane_width = aspect * plane_height.
+    Returns (origins, directions), each (R, W, 3).  Used by the sharded
+    renderer so each device generates its own row block *inside* the
+    shard — keeping camera-pose gradients flowing through ray generation
+    on-device rather than materializing all rays on the host.
     """
     forward, right, up = camera_basis(camera)
     aspect = width / height
@@ -90,7 +91,7 @@ def generate_rays(camera: Camera, width: int, height: int,
     plane_w = plane_h * aspect
 
     px = jnp.arange(width, dtype=jnp.float32)
-    py = jnp.arange(height, dtype=jnp.float32)
+    py = jnp.asarray(rows, jnp.float32)
     ndc_x = (2.0 * (px[None, :] + offset_x) / width - 1.0) * plane_w
     ndc_y = (1.0 - 2.0 * (py[:, None] + offset_y) / height) * plane_h
 
@@ -102,3 +103,16 @@ def generate_rays(camera: Camera, width: int, height: int,
     directions = coords.normalize(d)
     origins = jnp.broadcast_to(camera.position, directions.shape)
     return origins, directions
+
+
+def generate_rays(camera: Camera, width: int, height: int,
+                  offset_x=0.5, offset_y=0.5):
+    """Primary rays for a width x height image.
+
+    Returns (origins, directions), each (H, W, 3).  NDC mapping matches
+    raytracer.c:1026-1038: y flipped so row 0 is the top of the image,
+    plane_height = 2 tan(fov/2), plane_width = aspect * plane_height.
+    """
+    return generate_rays_for_rows(
+        camera, width, height, jnp.arange(height), offset_x, offset_y
+    )

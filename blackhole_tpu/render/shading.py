@@ -47,7 +47,10 @@ def disk_temperature(r_hit, disk_inner, disk_outer, temp_scale):
         0.0,
         1.0,
     )
-    temp_factor = (1.0 - rn) ** 0.75
+    # Grad-safe fractional power: d/du u^0.75 -> inf at u = 0 (the outer
+    # edge, where rn clips to 1); the floor keeps the VJP finite so
+    # masked non-disk lanes don't turn 0 * inf into NaN.
+    temp_factor = jnp.maximum(1.0 - rn, 1e-9) ** 0.75
     return temp_scale * (DISK_TEMP_BASE_K + DISK_TEMP_RANGE_K * temp_factor)
 
 

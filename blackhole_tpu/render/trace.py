@@ -186,14 +186,22 @@ def trace_step(carry: TraceCarry, scene: Scene, step_fn, adaptive: bool
         accepted = jnp.ones_like(active)
         h_next = h
 
-    advance = active & accepted
+    # Non-finite trial states must never enter the carry: freeze the lane
+    # this step (the capture/error classification below will retire it).
+    # Plays the role of the reference's NaN scrubbing (raytracer.c:140-153)
+    # without rewriting state.
+    finite = jnp.all(jnp.isfinite(y_trial), axis=-1)
+    advance = active & accepted & finite
     y_new = jnp.where(advance[..., None], y_trial, carry.y)
     h_new = jnp.where(active, h_next, carry.h)
 
     bl_new = y_new[..., :3]
     cart_new = coords.boyer_lindquist_to_cartesian(bl_new, a)
     chord = cart_new - carry.cart
-    step_len = jnp.linalg.norm(chord, axis=-1)
+    # Grad-safe norm: for frozen lanes chord == 0 exactly and the VJP of
+    # linalg.norm at 0 is NaN, which would poison reverse-mode through
+    # the masked where()s below.
+    step_len = jnp.sqrt(jnp.sum(chord * chord, axis=-1) + 1e-24)
     unit_dir = chord / jnp.maximum(step_len, EPSILON)[..., None]
     dist_new = carry.dist + jnp.where(advance, step_len, 0.0)
     last_dir = jnp.where(advance[..., None], unit_dir, carry.last_dir)
@@ -226,8 +234,16 @@ def trace_step(carry: TraceCarry, scene: Scene, step_fn, adaptive: bool
     still = result == ACTIVE
 
     # --- horizon capture (raytracer.c:650-656) ---
+    # Besides the radius test, capture on diverging ingoing radial
+    # momentum: in Boyer-Lindquist coordinates p_r ~ 1/Delta blows up at
+    # the horizon, so |p_r| beyond any physical exterior value means the
+    # ray is asymptotically pinned at the capture radius (the step clamp
+    # above makes r approach but never cross it).  Without this, p_r
+    # overflows float32 after a few hundred stalled steps -> NaN.
     r_new = y_new[..., geodesic.IR]
-    captured = still & advance & (r_new <= r_capture)
+    p_r_new = y_new[..., geodesic.IPR]
+    pinned = (p_r_new < -1e6) | (jnp.abs(p_r_new) > 1e7)
+    captured = still & active & ((r_new <= r_capture) | pinned | ~finite)
     result = jnp.where(captured, RayResult.HORIZON, result)
     hit_pos = jnp.where(captured[..., None], cart_new, hit_pos)
     still = result == ACTIVE

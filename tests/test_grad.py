@@ -1,0 +1,119 @@
+"""Gradient correctness: differentiable trace vs finite differences,
+checkpointed-scan vs while_loop forward parity, inverse-rendering descent.
+
+SURVEY.md §4 implication (d): gradient checks through the renderer; the
+reference engine has no differentiability at all, so the oracle is
+float64 finite differencing of our own forward pass.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from blackhole_tpu.geom.types import BlackHole, Camera, Disk, Scene, SimConfig
+from blackhole_tpu.grad import diff_trace, inverse
+from blackhole_tpu.render import image as image_mod
+
+
+def small_scene(spin=0.5, dtype=jnp.float64, max_steps=300):
+    return Scene(
+        blackhole=BlackHole.create(1.0, spin, dtype=dtype),
+        disk=Disk.create(6.0, 20.0, dtype=dtype),
+        config=SimConfig.create(
+            time_step=0.1, max_ray_distance=80.0, max_steps=max_steps,
+            dtype=dtype,
+        ),
+        disk_enabled=True,
+    )
+
+
+def small_camera(dtype=jnp.float64):
+    return Camera.create(
+        position=(0.0, -30.0, 8.0),
+        direction=(0.0, 30.0, -8.0),
+        up=(0.0, 0.0, 1.0),
+        fov_deg=25.0,
+        dtype=dtype,
+    )
+
+
+def test_diff_forward_matches_while_loop():
+    """The scan-driven differentiable forward must reproduce the
+    while_loop renderer (identical step function, identical masks)."""
+    scene, camera = small_scene(), small_camera()
+    img_ref = image_mod.render_image(scene, camera, width=16, height=16)
+    img_diff = diff_trace.render_image_diff(scene, camera, 16, 16)
+    np.testing.assert_allclose(
+        np.asarray(img_diff), np.asarray(img_ref), atol=1e-10
+    )
+
+
+@pytest.mark.parametrize("param", ["mass", "spin"])
+def test_pixel_gradients_match_finite_differences(param):
+    """d(mean image)/d(param) vs float64 central differences.
+
+    Interior pixels vary smoothly with (M, a); the FD step is small
+    enough that no pixel changes its hit branch for this scene."""
+    scene, camera = small_scene(), small_camera()
+
+    def loss(v):
+        bh = dataclasses.replace(scene.blackhole, **{param: v})
+        s = dataclasses.replace(scene, blackhole=bh)
+        return jnp.mean(diff_trace.render_image_diff(s, camera, 12, 12))
+
+    v0 = jnp.float64(1.0 if param == "mass" else 0.5)
+    g = jax.grad(loss)(v0)
+    eps = 1e-6
+    fd = (loss(v0 + eps) - loss(v0 - eps)) / (2 * eps)
+    assert np.isfinite(float(g))
+    np.testing.assert_allclose(float(g), float(fd), rtol=2e-3)
+
+
+def test_gradients_finite_at_high_spin():
+    scene, camera = small_scene(spin=0.95), small_camera()
+
+    def loss(spin):
+        bh = dataclasses.replace(scene.blackhole, spin=spin)
+        return jnp.mean(
+            diff_trace.render_image_diff(
+                dataclasses.replace(scene, blackhole=bh), camera, 8, 8
+            )
+        )
+
+    g = jax.grad(loss)(jnp.float64(0.95))
+    assert np.isfinite(float(g))
+
+
+def test_inverse_rendering_recovers_mass():
+    """Gradient descent on mass from a perturbed start must move toward
+    the target (BASELINE.json config 5, single-host slice)."""
+    scene, camera = small_scene(max_steps=150), small_camera()
+    target = diff_trace.render_image_diff(scene, camera, 16, 16)
+
+    bad = dataclasses.replace(
+        scene, blackhole=BlackHole.create(1.15, 0.5, dtype=jnp.float64)
+    )
+    fitted_scene, _, losses = inverse.fit(
+        target, bad, camera, 16, 16, steps=25, learning_rate=5e-2,
+        optimize=("log_mass",),
+    )
+    assert losses[-1] < 0.5 * losses[0]
+    assert abs(float(fitted_scene.blackhole.mass) - 1.0) < abs(1.15 - 1.0)
+    # Frozen parameters must not move.
+    assert float(fitted_scene.blackhole.spin) == pytest.approx(0.5)
+
+
+def test_pack_unpack_roundtrip():
+    scene, camera = small_scene(spin=0.7), small_camera()
+    params = inverse.pack_params(scene, camera)
+    s2, c2 = inverse.unpack_params(params, scene, camera)
+    np.testing.assert_allclose(float(s2.blackhole.mass), 1.0, rtol=1e-6)
+    np.testing.assert_allclose(float(s2.blackhole.spin), 0.7, rtol=1e-5)
+    np.testing.assert_allclose(
+        float(s2.disk.outer_radius), 20.0, rtol=1e-6
+    )
+    np.testing.assert_allclose(float(c2.fov_deg), 25.0, rtol=1e-6)

@@ -1,0 +1,99 @@
+"""Multi-device sharding tests on the 8-device virtual CPU mesh
+(conftest sets --xla_force_host_platform_device_count=8; SURVEY.md §4
+implication (e))."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from blackhole_tpu.geom.types import BlackHole, Camera, Disk, Scene, SimConfig
+from blackhole_tpu.grad import diff_trace, inverse
+from blackhole_tpu.parallel import mesh as pmesh
+from blackhole_tpu.render import image as image_mod
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return pmesh.make_mesh(8)
+
+
+def scene_and_camera():
+    scene = Scene(
+        blackhole=BlackHole.create(1.0, 0.9),
+        disk=Disk.create(6.0, 20.0),
+        config=SimConfig.create(
+            time_step=0.1, max_ray_distance=80.0, max_steps=150
+        ),
+        disk_enabled=True,
+    )
+    camera = Camera.create(
+        position=(0.0, -30.0, 8.0),
+        direction=(0.0, 30.0, -8.0),
+        up=(0.0, 0.0, 1.0),
+        fov_deg=25.0,
+    )
+    return scene, camera
+
+
+def test_sharded_render_matches_single_device(mesh8):
+    scene, camera = scene_and_camera()
+    img_sharded = pmesh.render_image_sharded(scene, camera, 16, 16, mesh8)
+    img_ref = image_mod.render_image(scene, camera, width=16, height=16)
+    np.testing.assert_allclose(
+        np.asarray(img_sharded), np.asarray(img_ref), atol=1e-5
+    )
+
+
+def test_sharded_grad_matches_single_device(mesh8):
+    """psum-reduced distributed gradients == single-device gradients."""
+    scene, camera = scene_and_camera()
+    params = inverse.pack_params(scene, camera)
+    target = diff_trace.render_image_diff(scene, camera, 16, 16)
+    # Perturb so loss and grads are nonzero.
+    params = dict(params, log_mass=params["log_mass"] + 0.05)
+
+    loss_d, grads_d = pmesh.loss_and_grad_sharded(
+        params, target, scene, camera, 16, 16, mesh8
+    )
+    loss_s, grads_s = jax.value_and_grad(inverse.image_loss)(
+        params, target, scene, camera, 16, 16
+    )
+    np.testing.assert_allclose(float(loss_d), float(loss_s), rtol=1e-5)
+    for k in grads_s:
+        np.testing.assert_allclose(
+            np.asarray(grads_d[k]), np.asarray(grads_s[k]),
+            rtol=1e-4, atol=1e-7,
+        )
+
+
+def test_sharded_train_step_descends(mesh8):
+    scene, camera = scene_and_camera()
+    target = diff_trace.render_image_diff(scene, camera, 16, 16)
+    bad = dataclasses.replace(
+        scene, blackhole=BlackHole.create(1.2, 0.9)
+    )
+    params = inverse.pack_params(bad, camera)
+    opt = optax.adam(3e-2)
+    opt_state = opt.init(params)
+    step = pmesh.make_train_step_sharded(opt, 16, 16, mesh8)
+    losses = []
+    for _ in range(10):
+        params, opt_state, loss = step(
+            params, opt_state, target, scene, camera
+        )
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    mass = float(jnp.exp(params["log_mass"]))
+    assert abs(mass - 1.0) < 0.2
+
+
+def test_uneven_height_rejected(mesh8):
+    scene, camera = scene_and_camera()
+    with pytest.raises(ValueError):
+        pmesh.render_image_sharded(scene, camera, 16, 12, mesh8)
