@@ -1,0 +1,408 @@
+"""Fused Pallas TPU kernel for the photon geodesic hot loop.
+
+TPU-native analog of the reference's GPU compute shader
+(/root/reference/src/visualization/shaders/ray_tracer.comp:323-548 — a
+16x16-workgroup GLSL kernel doing the full RK4 integration on-device,
+fed by SSBO ray batches).  Here each Pallas grid cell owns a tile of
+8x128 = 1024 rays whose entire state lives in VMEM/registers for the
+whole integration: HBM traffic is one read of (origin, direction) and
+one write of the hit record per ray, instead of the XLA while_loop
+path's full carry round-trip per step.  The loop body is identical
+arithmetic to blackhole_tpu.render.trace.trace_step (RK4 branch), so the
+kernel is validated by bit-level-close comparison against that path.
+
+Per-tile early exit: the while_loop terminates when every ray in the
+tile has retired, so tiles inside the shadow or pointing at empty sky
+stop hundreds of steps before worst-case tiles (the lockstep analog of
+the reference CPU path's per-ray early exit).
+
+Forward-only: reverse-mode uses the checkpointed scan driver in
+blackhole_tpu.grad.diff_trace (gradients never flow through this
+kernel; trace_rays_fast falls back to it only for primal evaluation).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from blackhole_tpu.constants import EPSILON, HORIZON_CAPTURE_FACTOR
+from blackhole_tpu.geom import coords
+from blackhole_tpu.geom.types import Hit, Integrator, RayResult, Scene
+from blackhole_tpu.render import geodesic, trace
+
+TILE_ROWS = 8
+TILE_LANES = 128
+TILE = TILE_ROWS * TILE_LANES
+
+# Scalar-parameter block layout (SMEM), one row of 16 floats:
+# [M, a, time_step, max_ray_distance, r_capture, max_steps,
+#  disk_inner, disk_outer, sin_incl, cos_incl, pinned_neg, pinned_abs,
+#  unused x4]
+_N_SCALARS = 16
+
+
+def _rhs(r, th, pr, pth, L, M, a):
+    """Geodesic RHS on (8,128) tiles — same closed form as
+    blackhole_tpu.render.geodesic.rhs with E = 1 (affine normalization).
+    Returns (dr, dth, dph, dpr, dpth)."""
+    E = 1.0
+    ct = jnp.cos(th)
+    st = jnp.sin(th)
+    st2 = jnp.maximum(st * st, EPSILON)
+    a2 = a * a
+    sigma = r * r + a2 * ct * ct
+    delta = r * r - 2.0 * M * r + a2
+    r2a2 = r * r + a2
+    A = r2a2 * r2a2 - delta * a2 * st2
+    inv_sd = 1.0 / (sigma * delta)
+
+    g_rr_up = delta / sigma
+    g_thth_up = 1.0 / sigma
+    g_tphi_up = -2.0 * M * r * a * inv_sd
+    g_tt_up = -A * inv_sd
+    g_phph_up = (delta - a2 * st2) * inv_sd / st2
+
+    dr = g_rr_up * pr
+    dth = g_thth_up * pth
+    dph = -g_tphi_up * E + g_phph_up * L
+
+    # dH/dr (matches geodesic._dH_dr_batched)
+    dsigma = 2.0 * r
+    ddelta = 2.0 * r - 2.0 * M
+    dA = 4.0 * r * r2a2 - ddelta * a2 * st2
+    dinv_sd = -(dsigma * delta + sigma * ddelta) * inv_sd * inv_sd
+    dg_tt = -(dA * inv_sd + A * dinv_sd)
+    dg_tphi = -2.0 * M * a * (inv_sd + r * dinv_sd)
+    dg_rr = (ddelta * sigma - delta * dsigma) / (sigma * sigma)
+    dg_thth = -dsigma / (sigma * sigma)
+    dg_phph = (ddelta * inv_sd + (delta - a2 * st2) * dinv_sd) / st2
+    dH_dr = 0.5 * (
+        dg_tt * E * E
+        - 2.0 * dg_tphi * E * L
+        + dg_phph * L * L
+        + dg_rr * pr * pr
+        + dg_thth * pth * pth
+    )
+
+    # dH/dtheta (matches geodesic._dH_dtheta_batched)
+    dst2 = 2.0 * st * ct
+    dsigma_th = -a2 * dst2
+    dA_th = -delta * a2 * dst2
+    dinv_sd_th = -(dsigma_th * delta) * inv_sd * inv_sd
+    dg_tt_th = -(dA_th * inv_sd + A * dinv_sd_th)
+    dg_tphi_th = -2.0 * M * r * a * dinv_sd_th
+    dg_rr_th = -delta * dsigma_th / (sigma * sigma)
+    dg_thth_th = -dsigma_th / (sigma * sigma)
+    num = delta - a2 * st2
+    dnum = -a2 * dst2
+    dg_phph_th = (
+        dnum * inv_sd / st2
+        + num * dinv_sd_th / st2
+        - num * inv_sd * dst2 / (st2 * st2)
+    )
+    dH_dth = 0.5 * (
+        dg_tt_th * E * E
+        - 2.0 * dg_tphi_th * E * L
+        + dg_phph_th * L * L
+        + dg_rr_th * pr * pr
+        + dg_thth_th * pth * pth
+    )
+    return dr, dth, dph, -dH_dr, -dH_dth
+
+
+def _bl_to_cart(r, th, ph, a):
+    w = jnp.sqrt(r * r + a * a)
+    st, ct = jnp.sin(th), jnp.cos(th)
+    return w * st * jnp.cos(ph), w * st * jnp.sin(ph), r * ct
+
+
+def _make_kernel(disk_enabled: bool):
+    """Build the kernel body; disk handling is compiled in/out."""
+
+    def kernel(scal_ref, inp_ref, out_ref):
+        M = scal_ref[0, 0]
+        a = scal_ref[0, 1]
+        dt = scal_ref[0, 2]
+        max_dist = scal_ref[0, 3]
+        r_capture = scal_ref[0, 4]
+        max_steps = scal_ref[0, 5].astype(jnp.int32)
+        disk_inner = scal_ref[0, 6]
+        disk_outer = scal_ref[0, 7]
+        sin_incl = scal_ref[0, 8]
+        cos_incl = scal_ref[0, 9]
+
+        rs = 2.0 * M
+
+        # Initial state (precomputed on host side of the pallas_call):
+        # inp components: r, th, ph, pr, pth, L, cx, cy, cz, ldx, ldy, ldz
+        r0 = inp_ref[0, 0]
+        th0 = inp_ref[0, 1]
+        ph0 = inp_ref[0, 2]
+        pr0 = inp_ref[0, 3]
+        pth0 = inp_ref[0, 4]
+        L = inp_ref[0, 5]
+        cx0 = inp_ref[0, 6]
+        cy0 = inp_ref[0, 7]
+        cz0 = inp_ref[0, 8]
+        ldx0 = inp_ref[0, 9]
+        ldy0 = inp_ref[0, 10]
+        ldz0 = inp_ref[0, 11]
+
+        zeros = jnp.zeros_like(r0)
+        active0 = jnp.full(r0.shape, True)
+        result0 = jnp.full(r0.shape, float(trace.ACTIVE), r0.dtype)
+
+        def cond(carry):
+            (i, _r, _th, _ph, _pr, _pth, _cx, _cy, _cz, _dist, _steps,
+             result, _hx, _hy, _hz, _lx, _ly, _lz) = carry
+            return (i < max_steps) & jnp.any(result == float(trace.ACTIVE))
+
+        def body(carry):
+            (i, r, th, ph, pr, pth, cx, cy, cz, dist, steps,
+             result, hx, hy, hz, lx, ly, lz) = carry
+            active = result == float(trace.ACTIVE)
+
+            # Step size schedule (trace.step_size_schedule).
+            h = dt * jnp.clip(r / (7.5 * rs), 0.05, 20.0)
+            h = jnp.minimum(h, 0.5 * (r - r_capture) + 1e-3 * dt)
+            h = jnp.maximum(h, 1e-4 * dt)
+
+            # RK4 over (r, th, ph, pr, pth).
+            k1 = _rhs(r, th, pr, pth, L, M, a)
+            k2 = _rhs(
+                r + 0.5 * h * k1[0], th + 0.5 * h * k1[1],
+                pr + 0.5 * h * k1[3], pth + 0.5 * h * k1[4], L, M, a,
+            )
+            k3 = _rhs(
+                r + 0.5 * h * k2[0], th + 0.5 * h * k2[1],
+                pr + 0.5 * h * k2[3], pth + 0.5 * h * k2[4], L, M, a,
+            )
+            k4 = _rhs(
+                r + h * k3[0], th + h * k3[1],
+                pr + h * k3[3], pth + h * k3[4], L, M, a,
+            )
+            sixth = h / 6.0
+            r_t = r + sixth * (k1[0] + 2.0 * (k2[0] + k3[0]) + k4[0])
+            th_t = th + sixth * (k1[1] + 2.0 * (k2[1] + k3[1]) + k4[1])
+            ph_t = ph + sixth * (k1[2] + 2.0 * (k2[2] + k3[2]) + k4[2])
+            pr_t = pr + sixth * (k1[3] + 2.0 * (k2[3] + k3[3]) + k4[3])
+            pth_t = pth + sixth * (k1[4] + 2.0 * (k2[4] + k3[4]) + k4[4])
+
+            finite = (
+                jnp.isfinite(r_t) & jnp.isfinite(th_t) & jnp.isfinite(ph_t)
+                & jnp.isfinite(pr_t) & jnp.isfinite(pth_t)
+            )
+            advance = active & finite
+            r_n = jnp.where(advance, r_t, r)
+            th_n = jnp.where(advance, th_t, th)
+            ph_n = jnp.where(advance, ph_t, ph)
+            pr_n = jnp.where(advance, pr_t, pr)
+            pth_n = jnp.where(advance, pth_t, pth)
+
+            cx_n, cy_n, cz_n = _bl_to_cart(r_n, th_n, ph_n, a)
+            dxc = cx_n - cx
+            dyc = cy_n - cy
+            dzc = cz_n - cz
+            step_len = jnp.sqrt(dxc * dxc + dyc * dyc + dzc * dzc + 1e-24)
+            inv_len = 1.0 / jnp.maximum(step_len, EPSILON)
+            dist_n = dist + jnp.where(advance, step_len, 0.0)
+            lx_n = jnp.where(advance, dxc * inv_len, lx)
+            ly_n = jnp.where(advance, dyc * inv_len, ly)
+            lz_n = jnp.where(advance, dzc * inv_len, lz)
+
+            # --- disk crossing (inline sign change; trace.trace_step) ---
+            if disk_enabled:
+                z_prev = -sin_incl * cy + cos_incl * cz
+                z_new = -sin_incl * cy_n + cos_incl * cz_n
+                crossed = (z_prev * z_new < 0.0) & advance
+                denom = z_prev - z_new
+                frac = z_prev / jnp.where(
+                    jnp.abs(denom) < EPSILON, EPSILON, denom
+                )
+                px = cx + frac * dxc
+                py = cy + frac * dyc
+                pz = cz + frac * dzc
+                yp = cos_incl * py + sin_incl * pz
+                r_plane = jnp.sqrt(px * px + yp * yp)
+                in_annulus = (r_plane >= disk_inner) & (
+                    r_plane <= disk_outer
+                )
+                disk_hit = crossed & in_annulus
+                result = jnp.where(
+                    disk_hit, float(RayResult.DISK), result
+                )
+                hx = jnp.where(disk_hit, px, hx)
+                hy = jnp.where(disk_hit, py, hy)
+                hz = jnp.where(disk_hit, pz, hz)
+                dist_n = jnp.where(disk_hit, dist + frac * step_len, dist_n)
+
+            still = result == float(trace.ACTIVE)
+
+            # --- horizon capture + momentum pinning + NaN scrub ---
+            pinned = (pr_n < -1e6) | (jnp.abs(pr_n) > 1e7)
+            captured = still & active & (
+                (r_n <= r_capture) | pinned | ~finite
+            )
+            result = jnp.where(captured, float(RayResult.HORIZON), result)
+            hx = jnp.where(captured, cx_n, hx)
+            hy = jnp.where(captured, cy_n, hy)
+            hz = jnp.where(captured, cz_n, hz)
+            still = result == float(trace.ACTIVE)
+
+            # --- path-length budget ---
+            budget = still & advance & (dist_n >= max_dist)
+            result = jnp.where(
+                budget, float(RayResult.MAX_DISTANCE), result
+            )
+            hx = jnp.where(budget, cx_n, hx)
+            hy = jnp.where(budget, cy_n, hy)
+            hz = jnp.where(budget, cz_n, hz)
+            still = result == float(trace.ACTIVE)
+
+            # --- radial escape ---
+            escaped = still & advance & (r_n >= max_dist) & (pr_n > 0.0)
+            result = jnp.where(
+                escaped, float(RayResult.BACKGROUND), result
+            )
+            hx = jnp.where(escaped, cx_n, hx)
+            hy = jnp.where(escaped, cy_n, hy)
+            hz = jnp.where(escaped, cz_n, hz)
+
+            cx_k = jnp.where(advance, cx_n, cx)
+            cy_k = jnp.where(advance, cy_n, cy)
+            cz_k = jnp.where(advance, cz_n, cz)
+            steps_n = steps + active.astype(r.dtype)
+            return (
+                i + 1, r_n, th_n, ph_n, pr_n, pth_n, cx_k, cy_k, cz_k,
+                dist_n, steps_n, result, hx, hy, hz, lx_n, ly_n, lz_n,
+            )
+
+        init = (
+            jnp.int32(0), r0, th0, ph0, pr0, pth0, cx0, cy0, cz0,
+            zeros, zeros, result0, cx0, cy0, cz0, ldx0, ldy0, ldz0,
+        )
+        final = jax.lax.while_loop(cond, body, init)
+        (_, r_f, _, _, _, _, cx_f, cy_f, cz_f, dist_f, steps_f,
+         result_f, hx_f, hy_f, hz_f, lx_f, ly_f, lz_f) = final
+
+        out_ref[0, 0] = result_f
+        out_ref[0, 1] = dist_f
+        out_ref[0, 2] = steps_f
+        out_ref[0, 3] = hx_f
+        out_ref[0, 4] = hy_f
+        out_ref[0, 5] = hz_f
+        out_ref[0, 6] = lx_f
+        out_ref[0, 7] = ly_f
+        out_ref[0, 8] = lz_f
+        out_ref[0, 9] = cx_f
+        out_ref[0, 10] = cy_f
+        out_ref[0, 11] = cz_f
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def trace_rays_pallas(origins, directions, scene: Scene,
+                      interpret: bool = False) -> Hit:
+    """Pallas-accelerated equivalent of trace.trace_rays (RK4 path).
+
+    origins/directions: (..., 3) float32.  Integrator must be RK4; other
+    integrators use the XLA while_loop path.
+    """
+    if scene.config.integrator != Integrator.RK4:
+        raise ValueError("pallas kernel supports the RK4 integrator only")
+    batch_shape = origins.shape[:-1]
+    o = jnp.asarray(origins, jnp.float32).reshape(-1, 3)
+    d = jnp.asarray(directions, jnp.float32).reshape(-1, 3)
+    n = o.shape[0]
+    n_pad = -n % TILE
+    if n_pad:
+        o = jnp.concatenate([o, jnp.broadcast_to(o[:1], (n_pad, 3))], 0)
+        d = jnp.concatenate([d, jnp.broadcast_to(d[:1], (n_pad, 3))], 0)
+    n_total = n + n_pad
+    grid = n_total // TILE
+
+    bh = scene.blackhole
+    cfg = scene.config
+    disk = scene.disk
+    disk_on = bool(scene.disk_enabled and cfg.show_disk)
+
+    # Ray initialization (exact, autodiff-based) outside the kernel.
+    y, _, L, _ = geodesic.init_null_rays(
+        o, coords.normalize(d), bh.mass, bh.a
+    )
+    ld = coords.normalize(d)
+    comps = jnp.stack(
+        [
+            y[:, 0], y[:, 1], y[:, 2], y[:, 3], y[:, 4], L,
+            o[:, 0], o[:, 1], o[:, 2], ld[:, 0], ld[:, 1], ld[:, 2],
+        ],
+        axis=0,
+    ).astype(jnp.float32)  # (12, n_total)
+    inp = comps.reshape(12, grid, TILE_ROWS, TILE_LANES).transpose(
+        1, 0, 2, 3
+    )  # (grid, 12, 8, 128)
+
+    r_capture = HORIZON_CAPTURE_FACTOR * bh.r_plus
+    scal = jnp.stack(
+        [
+            bh.mass, bh.a, cfg.time_step, cfg.max_ray_distance,
+            r_capture, jnp.asarray(cfg.max_steps, jnp.float32),
+            disk.inner_radius, disk.outer_radius,
+            jnp.sin(disk.inclination), jnp.cos(disk.inclination),
+            jnp.zeros(()), jnp.zeros(()), jnp.zeros(()), jnp.zeros(()),
+            jnp.zeros(()), jnp.zeros(()),
+        ]
+    ).astype(jnp.float32)[None, :]  # (1, 16)
+
+    out = pl.pallas_call(
+        _make_kernel(disk_on),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, _N_SCALARS), lambda g: (0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(
+                (1, 12, TILE_ROWS, TILE_LANES),
+                lambda g: (g, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 12, TILE_ROWS, TILE_LANES),
+            lambda g: (g, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (grid, 12, TILE_ROWS, TILE_LANES), jnp.float32
+        ),
+        interpret=interpret,
+    )(scal, inp)
+
+    flat = out.transpose(1, 0, 2, 3).reshape(12, n_total)[:, :n]
+    result = flat[0].astype(jnp.int32)
+    result = jnp.where(
+        result == trace.ACTIVE, RayResult.MAX_STEPS, result
+    )
+    carry = trace.TraceCarry(
+        y=jnp.zeros((n, 6), jnp.float32),
+        h=jnp.zeros((n,), jnp.float32),
+        L=L[:n],
+        dist=flat[1],
+        steps=flat[2].astype(jnp.int32),
+        result=result,
+        cart=flat[9:12].T,
+        hit_pos=flat[3:6].T,
+        last_dir=flat[6:9].T,
+        iter=jnp.zeros((), jnp.int32),
+    )
+    hit = trace.finalize(carry, scene)
+    return jax.tree_util.tree_map(
+        lambda x: x.reshape(batch_shape + x.shape[1:]), hit
+    )

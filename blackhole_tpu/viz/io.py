@@ -61,3 +61,34 @@ def write_image(path: str, img) -> None:
         write_ppm(path, img)
     else:
         write_png(path, img)
+
+
+def read_image(path: str) -> np.ndarray:
+    """Read an RGB image back as float32 [0,1] (H, W, 3).  Uses PIL when
+    available, else decodes our own PNG/PPM output formats."""
+    try:
+        from PIL import Image
+
+        with Image.open(path) as im:
+            return (
+                np.asarray(im.convert("RGB"), np.float32) / 255.0
+            )
+    except ImportError:
+        pass
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[:2] == b"P6":
+        header, rest = data.split(b"\n", 3)[0:3], data
+        parts = data.split(b"\n", 3)
+        w, h = map(int, parts[1].split())
+        arr = np.frombuffer(parts[3], np.uint8, count=w * h * 3)
+        return arr.reshape(h, w, 3).astype(np.float32) / 255.0
+    # Our minimal PNG layout: IHDR, one IDAT, IEND.
+    assert data[:8] == b"\x89PNG\r\n\x1a\n", "unsupported image"
+    w, h = struct.unpack(">II", data[16:24])
+    idat_start = data.index(b"IDAT") + 4
+    idat_len = struct.unpack(">I", data[idat_start - 8:idat_start - 4])[0]
+    raw = zlib.decompress(data[idat_start:idat_start + idat_len])
+    rows = np.frombuffer(raw, np.uint8).reshape(h, 1 + w * 3)
+    assert np.all(rows[:, 0] == 0), "only filter-0 PNGs supported"
+    return rows[:, 1:].reshape(h, w, 3).astype(np.float32) / 255.0

@@ -1,0 +1,78 @@
+"""Pallas kernel parity: interpret-mode kernel vs the XLA while_loop path.
+
+The fused kernel must agree with trace.trace_rays (identical arithmetic,
+different execution engine).  Runs in interpreter mode on the CPU test
+backend; the compiled-TPU parity check lives in the benchmark harness.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from blackhole_tpu.geom.types import BlackHole, Camera, Disk, Scene, SimConfig
+from blackhole_tpu.render import camera as cam
+from blackhole_tpu.render import pallas_kernel, trace
+
+
+def make_case(spin, disk_enabled, max_steps=250):
+    scene = Scene(
+        blackhole=BlackHole.create(1.0, spin),
+        disk=Disk.create(6.0, 20.0),
+        config=SimConfig.create(
+            time_step=0.1, max_ray_distance=80.0, max_steps=max_steps
+        ),
+        disk_enabled=disk_enabled,
+    )
+    camera = Camera.create(
+        position=(0.0, -30.0, 8.0),
+        direction=(0.0, 30.0, -8.0),
+        up=(0.0, 0.0, 1.0),
+        fov_deg=25.0,
+    )
+    o, d = cam.generate_rays(camera, 32, 32)
+    return scene, o.reshape(-1, 3), d.reshape(-1, 3)
+
+
+@pytest.mark.parametrize(
+    "spin,disk", [(0.0, True), (0.9, True), (0.9, False)]
+)
+def test_pallas_matches_while_loop(spin, disk):
+    scene, o, d = make_case(spin, disk)
+    hit_ref = trace.trace_rays(o, d, scene)
+    hit_pal = pallas_kernel.trace_rays_pallas(o, d, scene, interpret=True)
+
+    np.testing.assert_array_equal(
+        np.asarray(hit_pal.result), np.asarray(hit_ref.result)
+    )
+    np.testing.assert_allclose(
+        np.asarray(hit_pal.color), np.asarray(hit_ref.color), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(hit_pal.distance), np.asarray(hit_ref.distance),
+        atol=1e-3, rtol=1e-5,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(hit_pal.steps), np.asarray(hit_ref.steps)
+    )
+
+
+def test_pallas_pads_non_tile_batch():
+    """Batch size not a multiple of 1024 must round-trip unchanged."""
+    scene, o, d = make_case(0.9, True, max_steps=100)
+    o, d = o[:777], d[:777]
+    hit_ref = trace.trace_rays(o, d, scene)
+    hit_pal = pallas_kernel.trace_rays_pallas(o, d, scene, interpret=True)
+    assert hit_pal.result.shape == (777,)
+    np.testing.assert_array_equal(
+        np.asarray(hit_pal.result), np.asarray(hit_ref.result)
+    )
+
+
+def test_pallas_rejects_non_rk4():
+    scene, o, d = make_case(0.9, True)
+    import dataclasses
+
+    cfg = SimConfig.create(integrator="rkf45")
+    scene2 = dataclasses.replace(scene, config=cfg)
+    with pytest.raises(ValueError):
+        pallas_kernel.trace_rays_pallas(o, d, scene2, interpret=True)
