@@ -83,19 +83,38 @@ def render_orbit_animation(
     elevation_deg: float = 18.0,
     fov_deg: float = 22.0,
     spp: int = 1,
+    use_native_io: bool = True,
 ):
     """Render an azimuthal orbit sweep to out_dir/frame_%04d.png.
 
-    Returns the list of file paths."""
+    Frames are handed to the native async writer (native/frameio.cpp)
+    when it is available, so the device renders frame k+1 while the
+    encoder thread writes frame k — the producer/consumer overlap the
+    reference implements with its physics/render thread double buffer
+    (renderer.cpp:863-1006).  Returns the list of file paths."""
+    from blackhole_tpu.viz import native_io
+
     os.makedirs(out_dir, exist_ok=True)
     paths = []
-    for k in range(n_frames):
-        az = 360.0 * k / n_frames
-        cam = orbit_camera(distance, elevation_deg, az, fov_deg)
-        img = image_mod.render_image(
-            scene, cam, width=width, height=height, spp=spp
-        )
-        path = os.path.join(out_dir, f"frame_{k:04d}.png")
-        viz_io.write_image(path, np.asarray(img))
-        paths.append(path)
+    writer = (
+        native_io.AsyncFrameWriter(width, height)
+        if use_native_io and native_io.available()
+        else None
+    )
+    try:
+        for k in range(n_frames):
+            az = 360.0 * k / n_frames
+            cam = orbit_camera(distance, elevation_deg, az, fov_deg)
+            img = image_mod.render_image(
+                scene, cam, width=width, height=height, spp=spp
+            )
+            path = os.path.join(out_dir, f"frame_{k:04d}.png")
+            if writer is not None:
+                writer.submit(np.asarray(img), path)
+            else:
+                viz_io.write_image(path, np.asarray(img))
+            paths.append(path)
+    finally:
+        if writer is not None:
+            writer.close()
     return paths
