@@ -82,9 +82,10 @@ def add_particle(system: ParticleSystem, position, velocity, mass,
     safe_idx = jnp.minimum(idx, system.capacity - 1)
     pid = jnp.where(full, -1, system.next_id)
 
-    def set_at(arr, val):
-        val = jnp.asarray(val, arr.dtype)
-        return jnp.where(full, arr[safe_idx], val)
+    def set_at(cur, val):
+        """New slot value: keep the current value when the pool is full."""
+        val = jnp.asarray(val, cur.dtype)
+        return jnp.where(full, cur, val)
 
     new = system.replace(
         position=system.position.at[safe_idx].set(

@@ -158,12 +158,14 @@ def _make_kernel(disk_enabled: bool):
         result0 = jnp.full(r0.shape, float(trace.ACTIVE), r0.dtype)
 
         def cond(carry):
-            (i, _r, _th, _ph, _pr, _pth, _cx, _cy, _cz, _dist, _steps,
-             result, _hx, _hy, _hz, _lx, _ly, _lz) = carry
-            return (i < max_steps) & jnp.any(result == float(trace.ACTIVE))
+            # Mosaic cannot lower a vector->scalar reduction inside the
+            # while condition; the body maintains the active count as a
+            # scalar carry instead.
+            (i, n_active, *_rest) = carry
+            return (i < max_steps) & (n_active > 0)
 
         def body(carry):
-            (i, r, th, ph, pr, pth, cx, cy, cz, dist, steps,
+            (i, _n_active, r, th, ph, pr, pth, cx, cy, cz, dist, steps,
              result, hx, hy, hz, lx, ly, lz) = carry
             active = result == float(trace.ACTIVE)
 
@@ -277,17 +279,22 @@ def _make_kernel(disk_enabled: bool):
             cy_k = jnp.where(advance, cy_n, cy)
             cz_k = jnp.where(advance, cz_n, cz)
             steps_n = steps + active.astype(r.dtype)
+            n_active = jnp.sum(
+                (result == float(trace.ACTIVE)).astype(jnp.int32)
+            ).astype(jnp.int32)
             return (
-                i + 1, r_n, th_n, ph_n, pr_n, pth_n, cx_k, cy_k, cz_k,
+                i + 1, n_active, r_n, th_n, ph_n, pr_n, pth_n,
+                cx_k, cy_k, cz_k,
                 dist_n, steps_n, result, hx, hy, hz, lx_n, ly_n, lz_n,
             )
 
         init = (
-            jnp.int32(0), r0, th0, ph0, pr0, pth0, cx0, cy0, cz0,
+            jnp.int32(0), jnp.int32(TILE),
+            r0, th0, ph0, pr0, pth0, cx0, cy0, cz0,
             zeros, zeros, result0, cx0, cy0, cz0, ldx0, ldy0, ldz0,
         )
         final = jax.lax.while_loop(cond, body, init)
-        (_, r_f, _, _, _, _, cx_f, cy_f, cz_f, dist_f, steps_f,
+        (_, _, r_f, _, _, _, _, cx_f, cy_f, cz_f, dist_f, steps_f,
          result_f, hx_f, hy_f, hz_f, lx_f, ly_f, lz_f) = final
 
         out_ref[0, 0] = result_f
