@@ -137,6 +137,69 @@ def run_render(args):
     print(f"wrote {args.out} ({args.width}x{args.height}, spp={args.spp})")
 
 
+def run_fit(args):
+    """Inverse-rendering demo: render a target at the true parameters,
+    perturb, recover by gradient descent (the capability the reference
+    C engine lacks entirely)."""
+    import dataclasses
+
+    from blackhole_tpu.geom.types import (
+        BlackHole, Camera, Disk, Scene, SimConfig,
+    )
+    from blackhole_tpu.grad import diff_trace, inverse
+
+    scene = Scene(
+        blackhole=BlackHole.create(args.mass, args.spin),
+        disk=Disk.create(6.0, 20.0),
+        config=SimConfig.create(
+            time_step=0.1, max_ray_distance=80.0, max_steps=args.steps
+        ),
+        disk_enabled=True,
+    )
+    camera = Camera.create(
+        position=(0.0, -30.0, 8.0),
+        direction=(0.0, 30.0, -8.0),
+        up=(0.0, 0.0, 1.0),
+        fov_deg=25.0,
+    )
+    print(f"target: mass={args.mass} spin={args.spin}")
+    target = diff_trace.render_image_diff(
+        scene, camera, args.size, args.size
+    )
+    bad = dataclasses.replace(
+        scene,
+        blackhole=BlackHole.create(
+            args.mass * 1.2, min(0.95, args.spin + 0.2)
+        ),
+    )
+    print(
+        f"start:  mass={float(bad.blackhole.mass):.4f} "
+        f"spin={float(bad.blackhole.spin):.4f}"
+    )
+
+    def cb(i, params, loss):
+        if (i + 1) % 10 == 0:
+            import jax.numpy as jnp
+
+            m = float(jnp.exp(params["log_mass"]))
+            s = float(inverse.MAX_SPIN * jnp.tanh(params["spin_raw"]))
+            print(
+                f"  step {i + 1:4d}: loss={float(loss):.3e} "
+                f"mass={m:.4f} spin={s:.4f}"
+            )
+
+    fitted, _, losses = inverse.fit(
+        target, bad, camera, args.size, args.size,
+        steps=args.fit_steps, learning_rate=args.lr,
+        optimize=("log_mass", "spin_raw"), callback=cb,
+    )
+    print(
+        f"fitted: mass={float(fitted.blackhole.mass):.4f} "
+        f"spin={float(fitted.blackhole.spin):.4f} "
+        f"(loss {losses[0]:.3e} -> {losses[-1]:.3e})"
+    )
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(
         prog="blackhole_tpu", description=__doc__
@@ -150,11 +213,22 @@ def main(argv=None):
     pr.add_argument("--spin", type=float, default=0.0)
     pr.add_argument("--steps", type=int, default=1000)
     pr.add_argument("--out", type=str, default="render.png")
+    pf = sub.add_parser(
+        "fit", help="inverse rendering: recover mass/spin from an image"
+    )
+    pf.add_argument("--mass", type=float, default=1.0)
+    pf.add_argument("--spin", type=float, default=0.5)
+    pf.add_argument("--size", type=int, default=32)
+    pf.add_argument("--steps", type=int, default=300)
+    pf.add_argument("--fit-steps", type=int, default=60)
+    pf.add_argument("--lr", type=float, default=3e-2)
     args = parser.parse_args(argv)
     if args.cmd in (None, "tests"):
         run_tests()
     elif args.cmd == "render":
         run_render(args)
+    elif args.cmd == "fit":
+        run_fit(args)
     return 0
 
 
