@@ -77,31 +77,31 @@ def main():
         return hit.color
 
     # --- forward+backward w.r.t. (mass, spin) ---
-    # One jitted value_and_grad per chunk, accumulated on the host
-    # (gradient accumulation): keeps each device execution short, which
-    # also bounds peak memory for the checkpointed backward pass.
-    @jax.jit
-    def chunk_grad(mass, spin, o_blk, d_blk):
-        def loss(mass, spin):
-            s = dataclasses.replace(
-                scene,
-                blackhole=dataclasses.replace(
-                    scene.blackhole, mass=mass, spin=spin
-                ),
-            )
-            hit = diff_trace.trace_rays_diff(o_blk, d_blk, s)
-            return jnp.sum(hit.color) / (3.0 * n_rays)
+    # Chunked gradient accumulation with per-chunk step buckets: a cheap
+    # forward sizes each chunk, and its backward scan runs only in the
+    # smallest bucket that covers it (blackhole_tpu.grad.bucketed).
+    # Identical gradients, short device executions, bounded memory.
+    from blackhole_tpu.grad import bucketed
 
-        return jax.value_and_grad(loss, argnums=(0, 1))(mass, spin)
+    def scene_fn(params):
+        return dataclasses.replace(
+            scene,
+            blackhole=dataclasses.replace(
+                scene.blackhole, mass=params["mass"], spin=params["spin"]
+            ),
+        )
+
+    def loss_fn(colors, idx):
+        return jnp.sum(colors) / (3.0 * n_rays)
+
+    _bucket_cache = {}
 
     def fwdbwd(mass, spin, o, d):
-        total, gm, gs = 0.0, 0.0, 0.0
-        for c in range(CHUNKS):
-            v, (g0, g1) = chunk_grad(mass, spin, o[c], d[c])
-            total += v
-            gm += g0
-            gs += g1
-        return total, (gm, gs)
+        params = {"mass": mass, "spin": spin}
+        return bucketed.grad_over_chunks(
+            scene_fn, params, o.reshape(-1, 3), d.reshape(-1, 3),
+            loss_fn, chunks=CHUNKS, cache=_bucket_cache,
+        )
 
     def timeit(fn, *args):
         """Each repeat perturbs mass in the last ulp-ish digit so a

@@ -1,0 +1,141 @@
+"""Step-bucketed gradient computation — adaptive backward-pass length.
+
+The checkpointed scan driver (diff_trace) must run a *static* number of
+steps, so a naive backward pass over an image burns max_steps iterations
+for every ray even though most chunks finish long before (shadow
+interior ~ a few hundred steps; sky chunks even fewer).  This module
+exploits spatial coherence: a cheap forward pass (early-exit while_loop)
+measures each chunk's true step requirement, then each chunk's
+value_and_grad runs in the smallest step-budget *bucket* that covers it.
+Identical results (a ray that finished in s steps is invariant to any
+budget >= s) at a fraction of the backward cost.
+
+This is the lockstep analog of the reference CPU tracer's per-ray early
+exit (raytracer.c:650-664), applied to the differentiable path — a
+capability the reference doesn't have at all.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from blackhole_tpu.geom.types import Scene
+from blackhole_tpu.grad import diff_trace
+from blackhole_tpu.render import trace
+
+
+def _buckets_for(max_steps: int):
+    """Geometric bucket ladder capped at max_steps, e.g. 1000 ->
+    (125, 250, 500, 1000)."""
+    out = [max_steps]
+    while out[-1] > 64:
+        out.append(out[-1] // 2)
+    return tuple(sorted(out))
+
+
+@partial(jax.jit, static_argnames=())
+def _chunk_steps(o_blk, d_blk, scene: Scene):
+    """Max steps any ray in the chunk needs (early-exit forward)."""
+    hit = trace.trace_rays(o_blk, d_blk, scene)
+    return jnp.max(hit.steps)
+
+
+def make_chunk_grad(loss_of_colors, bucket: int):
+    """Jitted value_and_grad of scalar_params -> loss over one chunk,
+    with the integration budget fixed to `bucket` steps.
+
+    loss_of_colors(colors, aux) -> scalar; scene built by caller-supplied
+    scene_fn(params).
+    """
+
+    @jax.jit
+    def chunk_grad(params, scene_template, o_blk, d_blk, aux, scene_fn):
+        raise NotImplementedError  # placeholder; see grad_over_chunks
+
+    return chunk_grad
+
+
+def grad_over_chunks(
+    scene_fn,
+    params,
+    origins,
+    dirs,
+    loss_fn,
+    loss_args=(),
+    chunks: int = 32,
+    buckets=None,
+    cache: dict | None = None,
+):
+    """Host-orchestrated value_and_grad with per-chunk step buckets.
+
+    scene_fn(params) -> Scene (differentiable w.r.t. params pytree).
+    loss_fn(colors, chunk_index, *loss_args) -> scalar contribution; the
+    total loss is the sum over chunks.
+    origins/dirs: (N, 3).  Returns (loss, grads) with grads matching
+    params' structure.
+
+    `cache` (optional dict) keeps compiled per-bucket functions across
+    calls — pass the same dict each call in an optimization loop.
+    """
+    n = origins.shape[0]
+    assert n % chunks == 0, "chunks must divide the ray count"
+    o = origins.reshape(chunks, n // chunks, 3)
+    d = dirs.reshape(chunks, n // chunks, 3)
+    scene0 = scene_fn(params)
+    if buckets is None:
+        buckets = _buckets_for(scene0.config.max_steps)
+    if cache is None:
+        cache = {}
+
+    # Phase 1: cheap forward to size each chunk.
+    need = np.asarray(
+        jax.jit(jax.vmap(lambda ob, db: _chunk_steps(ob, db, scene0)))(
+            o, d
+        )
+    )
+
+    def bucket_of(s):
+        for b in buckets:
+            if s <= b:
+                return b
+        return buckets[-1]
+
+    # Phase 2: per-bucket compiled chunk value_and_grad.
+    def get_fn(b):
+        if b not in cache:
+
+            @jax.jit
+            def chunk_vg(params, o_blk, d_blk, idx, *args):
+                def local(params):
+                    s = scene_fn(params)
+                    s = dataclasses.replace(
+                        s,
+                        config=dataclasses.replace(s.config, max_steps=b),
+                    )
+                    hit = diff_trace.trace_rays_diff(o_blk, d_blk, s)
+                    return loss_fn(hit.color, idx, *args)
+
+                return jax.value_and_grad(local)(params)
+
+            cache[b] = chunk_vg
+        return cache[b]
+
+    total_loss = 0.0
+    total_grads = None
+    for c in range(chunks):
+        b = bucket_of(int(need[c]) + 1)
+        loss_c, grads_c = get_fn(b)(
+            params, o[c], d[c], c, *loss_args
+        )
+        total_loss = total_loss + loss_c
+        total_grads = (
+            grads_c
+            if total_grads is None
+            else jax.tree_util.tree_map(jnp.add, total_grads, grads_c)
+        )
+    return total_loss, total_grads

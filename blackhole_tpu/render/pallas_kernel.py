@@ -39,11 +39,13 @@ TILE_ROWS = 8
 TILE_LANES = 128
 TILE = TILE_ROWS * TILE_LANES
 
-# Scalar-parameter block layout (SMEM), one row of 16 floats:
-# [M, a, time_step, max_ray_distance, r_capture, max_steps,
-#  disk_inner, disk_outer, sin_incl, cos_incl, pinned_neg, pinned_abs,
-#  unused x4]
-_N_SCALARS = 16
+# Scene parameters are fed as broadcast (8, 128) VMEM planes rather than
+# SMEM scalars: Mosaic (jax 0.9 / this libtpu) hits an "Invalid relayout"
+# bug when *traced* SMEM scalars mix into vector arithmetic inside the
+# while_loop (constant-folded scalars compile fine).  Plane layout:
+# [M, a, time_step, max_ray_distance, r_capture,
+#  disk_inner, disk_outer, sin_incl, cos_incl]
+_N_SCAL_PLANES = 9
 
 
 def _rhs(r, th, pr, pth, L, M, a):
@@ -121,20 +123,20 @@ def _bl_to_cart(r, th, ph, a):
     return w * st * jnp.cos(ph), w * st * jnp.sin(ph), r * ct
 
 
-def _make_kernel(disk_enabled: bool):
-    """Build the kernel body; disk handling is compiled in/out."""
+def _make_kernel(disk_enabled: bool, max_steps: int):
+    """Build the kernel body; disk handling and the step budget are
+    compiled in (max_steps is static in SimConfig)."""
 
     def kernel(scal_ref, inp_ref, out_ref):
-        M = scal_ref[0, 0]
-        a = scal_ref[0, 1]
-        dt = scal_ref[0, 2]
-        max_dist = scal_ref[0, 3]
-        r_capture = scal_ref[0, 4]
-        max_steps = scal_ref[0, 5].astype(jnp.int32)
-        disk_inner = scal_ref[0, 6]
-        disk_outer = scal_ref[0, 7]
-        sin_incl = scal_ref[0, 8]
-        cos_incl = scal_ref[0, 9]
+        M = scal_ref[0]
+        a = scal_ref[1]
+        dt = scal_ref[2]
+        max_dist = scal_ref[3]
+        r_capture = scal_ref[4]
+        disk_inner = scal_ref[5]
+        disk_outer = scal_ref[6]
+        sin_incl = scal_ref[7]
+        cos_incl = scal_ref[8]
 
         rs = 2.0 * M
 
@@ -153,9 +155,14 @@ def _make_kernel(disk_enabled: bool):
         ldy0 = inp_ref[0, 10]
         ldz0 = inp_ref[0, 11]
 
-        zeros = jnp.zeros_like(r0)
-        active0 = jnp.full(r0.shape, True)
-        result0 = jnp.full(r0.shape, float(trace.ACTIVE), r0.dtype)
+        # r0 is loaded from VMEM, so it carries a non-replicated vector
+        # layout; derive every init value from it.  A jnp.zeros_like /
+        # jnp.full splat would enter the while carry with a *replicated*
+        # Mosaic layout, and the loop body's non-replicated updates then
+        # need a {0,0} -> {*,*} relayout at the backedge, which Mosaic
+        # rejects ("Invalid relayout", jax 0.9).
+        zeros = r0 * 0.0
+        result0 = zeros + float(trace.ACTIVE)
 
         def cond(carry):
             # Mosaic cannot lower a vector->scalar reduction inside the
@@ -278,7 +285,9 @@ def _make_kernel(disk_enabled: bool):
             cx_k = jnp.where(advance, cx_n, cx)
             cy_k = jnp.where(advance, cy_n, cy)
             cz_k = jnp.where(advance, cz_n, cz)
-            steps_n = steps + active.astype(r.dtype)
+            # NOT active.astype(f32) + add: Mosaic (as of jax 0.9) fails
+            # with an "Invalid relayout" on bool->f32 vector casts here.
+            steps_n = jnp.where(active, steps + 1.0, steps)
             n_active = jnp.sum(
                 (result == float(trace.ACTIVE)).astype(jnp.int32)
             ).astype(jnp.int32)
@@ -359,21 +368,24 @@ def trace_rays_pallas(origins, directions, scene: Scene,
     scal = jnp.stack(
         [
             bh.mass, bh.a, cfg.time_step, cfg.max_ray_distance,
-            r_capture, jnp.asarray(cfg.max_steps, jnp.float32),
+            r_capture,
             disk.inner_radius, disk.outer_radius,
             jnp.sin(disk.inclination), jnp.cos(disk.inclination),
-            jnp.zeros(()), jnp.zeros(()), jnp.zeros(()), jnp.zeros(()),
-            jnp.zeros(()), jnp.zeros(()),
         ]
-    ).astype(jnp.float32)[None, :]  # (1, 16)
+    ).astype(jnp.float32)
+    # Broadcast to (9, 8, 128) VMEM planes (see _N_SCAL_PLANES note).
+    scal = jnp.broadcast_to(
+        scal[:, None, None], (_N_SCAL_PLANES, TILE_ROWS, TILE_LANES)
+    )
 
     out = pl.pallas_call(
-        _make_kernel(disk_on),
+        _make_kernel(disk_on, int(cfg.max_steps)),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec(
-                (1, _N_SCALARS), lambda g: (0, 0),
-                memory_space=pltpu.SMEM,
+                (_N_SCAL_PLANES, TILE_ROWS, TILE_LANES),
+                lambda g: (0, 0, 0),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, 12, TILE_ROWS, TILE_LANES),
