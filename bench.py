@@ -65,14 +65,16 @@ def main():
     o = origins.reshape(CHUNKS, n_rays // CHUNKS, 3)
     d = dirs.reshape(CHUNKS, n_rays // CHUNKS, 3)
 
-    # --- forward-only (early-exit while_loop path) ---
+    # --- forward-only: fastest engine (fused Pallas kernel on TPU) ---
+    from blackhole_tpu.render import image as image_mod
+
     @jax.jit
     def fwd(mass, o, d):
         s = dataclasses.replace(
             scene, blackhole=dataclasses.replace(scene.blackhole, mass=mass)
         )
-        hit = jax.lax.map(
-            lambda od: trace.trace_rays(od[0], od[1], s), (o, d)
+        hit = image_mod.trace_rays_fast(
+            o.reshape(-1, 3), d.reshape(-1, 3), s
         )
         return hit.color
 

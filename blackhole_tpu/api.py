@@ -185,12 +185,16 @@ def bh_trace_ray(context: BHContext, origin, direction) -> Hit:
     return jax.tree_util.tree_map(lambda x: x[0], hit)
 
 
-def bh_trace_rays_batch(context: BHContext, origins, directions) -> Hit:
+def bh_trace_rays_batch(context: BHContext, origins, directions,
+                        engine: str = "auto") -> Hit:
     """Batch trace (blackhole_api.c:225-250) — one fused device
-    computation instead of the reference's sequential host loop."""
+    computation instead of the reference's sequential host loop.  On a
+    TPU backend the fused Pallas kernel is used automatically."""
+    from blackhole_tpu.render import image as image_mod
+
     o = jnp.asarray(origins, context.dtype)
     d = jnp.asarray(directions, context.dtype)
-    return trace.trace_rays(o, d, context.scene())
+    return image_mod.trace_rays_fast(o, d, context.scene(), engine)
 
 
 # --- particle system facade (blackhole_api.c:256-427) ---

@@ -17,13 +17,38 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from blackhole_tpu.geom.types import Camera, Scene
+from blackhole_tpu.geom.types import Camera, Integrator, Scene
 from blackhole_tpu.render import camera as cam
 from blackhole_tpu.render import trace
 
 
+def trace_rays_fast(origins, directions, scene: Scene, engine: str = "auto"):
+    """Forward ray tracing through the fastest available engine.
+
+    engine: "pallas" (fused TPU kernel), "xla" (while_loop path), or
+    "auto" — pallas on a TPU backend with the RK4 integrator (measured
+    ~6x the XLA path on v5e), XLA otherwise.  Both engines produce the
+    same Hit records (tested to result-code equality).  Forward-only:
+    the differentiable path is blackhole_tpu.grad.diff_trace.
+    """
+    if engine == "auto":
+        engine = (
+            "pallas"
+            if (
+                jax.default_backend() == "tpu"
+                and scene.config.integrator == Integrator.RK4
+            )
+            else "xla"
+        )
+    if engine == "pallas":
+        from blackhole_tpu.render import pallas_kernel
+
+        return pallas_kernel.trace_rays_pallas(origins, directions, scene)
+    return trace.trace_rays(origins, directions, scene)
+
+
 @partial(jax.jit, static_argnames=("width", "height", "spp", "jitter",
-                                   "chunks"))
+                                   "chunks", "engine"))
 def render_image(
     scene: Scene,
     camera: Camera,
@@ -32,19 +57,21 @@ def render_image(
     spp: int = 1,
     jitter: str = "halton",
     chunks: int = 1,
+    engine: str = "auto",
 ):
     """Render an RGB image (H, W, 3) in [0, 1].
 
     spp: samples per pixel, accumulated with Halton sub-pixel jitter
     (raytracer.c:1096-1165).  chunks: split the pixel batch into this many
-    sequentially-traced chunks (early-exit granularity).
+    sequentially-traced chunks (early-exit granularity; XLA engine only —
+    the pallas kernel early-exits per 1024-ray tile internally).
     """
     n_pix = width * height
     assert n_pix % chunks == 0, "chunks must divide width*height"
 
     def trace_flat(origins, dirs):
-        if chunks == 1:
-            return trace.trace_rays(origins, dirs, scene)
+        if chunks == 1 or engine != "xla":
+            return trace_rays_fast(origins, dirs, scene, engine)
         o = origins.reshape(chunks, n_pix // chunks, 3)
         d = dirs.reshape(chunks, n_pix // chunks, 3)
         hit = jax.lax.map(
