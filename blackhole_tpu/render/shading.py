@@ -126,6 +126,44 @@ def apply_relativistic_effects(
     return jnp.clip(out, 0.0, 1.0)
 
 
+def doppler_shift_wavelength(wavelength, radial_velocity):
+    """Relativistic longitudinal Doppler shift of a wavelength.
+
+    Implements the function the reference *declares* but never defines
+    (math_util.h:268): lambda' = lambda * sqrt((1+beta)/(1-beta)), with
+    beta = radial velocity / c (positive = receding -> redshift).
+    """
+    beta = jnp.clip(radial_velocity, -1.0 + 1e-6, 1.0 - 1e-6)
+    return wavelength * jnp.sqrt((1.0 + beta) / (1.0 - beta))
+
+
+def apply_redshift_to_rgb(color, redshift_z):
+    """Shift an RGB color by redshift z (math_util.h:258, declared only).
+
+    z > 0 moves energy toward red (each channel's effective blackbody
+    temperature scales by 1/(1+z)); z < 0 blueshifts.  Implemented as a
+    temperature remap through the same piecewise blackbody palette, with
+    intensity scaled by 1/(1+z)^4 (bolometric dimming).
+    """
+    z1 = jnp.maximum(1.0 + redshift_z, 1e-3)
+    # Approximate the color's temperature by its channel balance, remap.
+    r, g, b = color[..., 0], color[..., 1], color[..., 2]
+    lum = jnp.maximum(0.2126 * r + 0.7152 * g + 0.0722 * b, EPSILON)
+    # Blue/red balance -> pseudo temperature in the palette range.
+    balance = (b - r) / jnp.maximum(r + g + b, EPSILON)
+    t_norm = jnp.clip(0.5 + 0.5 * balance, 0.0, 1.0)
+    temp = MIN_TEMP_K + t_norm * (MAX_TEMP_K - MIN_TEMP_K)
+    shifted = temperature_to_rgb(temp / z1)
+    dimming = (1.0 / z1) ** 4
+    scale = lum / jnp.maximum(
+        0.2126 * shifted[..., 0]
+        + 0.7152 * shifted[..., 1]
+        + 0.0722 * shifted[..., 2],
+        EPSILON,
+    )
+    return jnp.clip(shifted * (scale * dimming)[..., None], 0.0, 1.0)
+
+
 def sky_color(direction):
     """Gradient background (raytracer.c:1146-1157): white-to-blue by
     elevation of the final ray direction."""
