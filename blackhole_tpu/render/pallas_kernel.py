@@ -123,46 +123,182 @@ def _bl_to_cart(r, th, ph, a):
     return w * st * jnp.cos(ph), w * st * jnp.sin(ph), r * ct
 
 
+def _step_update(state, scal, disk_enabled: bool):
+    """One masked integration step as a pure function of
+    (state, scal) tuples of (8, 128) vectors — shared by the plain
+    forward kernel and the tangent-augmented (JVP) kernel, where it is
+    differentiated in forward mode *inside* the Pallas kernel.
+
+    state: (r, th, ph, pr, pth, cx, cy, cz, dist, steps, result,
+            hx, hy, hz, lx, ly, lz)
+    scal:  (M, a, dt, max_dist, r_capture, disk_inner, disk_outer,
+            sin_incl, cos_incl, L)   [L rides with scal: constant per ray]
+    """
+    (r, th, ph, pr, pth, cx, cy, cz, dist, steps, result,
+     hx, hy, hz, lx, ly, lz) = state
+    (M, a, dt, max_dist, r_capture, disk_inner, disk_outer,
+     sin_incl, cos_incl, L) = scal
+    active = result == float(trace.ACTIVE)
+    rs = 2.0 * M
+
+    # Step size schedule (trace.step_size_schedule).
+    h = dt * jnp.clip(r / (7.5 * rs), 0.05, 20.0)
+    h = jnp.minimum(h, 0.5 * (r - r_capture) + 1e-3 * dt)
+    h = jnp.maximum(h, 1e-4 * dt)
+
+    # RK4 over (r, th, ph, pr, pth).
+    k1 = _rhs(r, th, pr, pth, L, M, a)
+    k2 = _rhs(
+        r + 0.5 * h * k1[0], th + 0.5 * h * k1[1],
+        pr + 0.5 * h * k1[3], pth + 0.5 * h * k1[4], L, M, a,
+    )
+    k3 = _rhs(
+        r + 0.5 * h * k2[0], th + 0.5 * h * k2[1],
+        pr + 0.5 * h * k2[3], pth + 0.5 * h * k2[4], L, M, a,
+    )
+    k4 = _rhs(
+        r + h * k3[0], th + h * k3[1],
+        pr + h * k3[3], pth + h * k3[4], L, M, a,
+    )
+    sixth = h / 6.0
+    r_t = r + sixth * (k1[0] + 2.0 * (k2[0] + k3[0]) + k4[0])
+    th_t = th + sixth * (k1[1] + 2.0 * (k2[1] + k3[1]) + k4[1])
+    ph_t = ph + sixth * (k1[2] + 2.0 * (k2[2] + k3[2]) + k4[2])
+    pr_t = pr + sixth * (k1[3] + 2.0 * (k2[3] + k3[3]) + k4[3])
+    pth_t = pth + sixth * (k1[4] + 2.0 * (k2[4] + k3[4]) + k4[4])
+
+    finite = (
+        jnp.isfinite(r_t) & jnp.isfinite(th_t) & jnp.isfinite(ph_t)
+        & jnp.isfinite(pr_t) & jnp.isfinite(pth_t)
+    )
+    advance = active & finite
+    r_n = jnp.where(advance, r_t, r)
+    th_n = jnp.where(advance, th_t, th)
+    ph_n = jnp.where(advance, ph_t, ph)
+    pr_n = jnp.where(advance, pr_t, pr)
+    pth_n = jnp.where(advance, pth_t, pth)
+
+    cx_n, cy_n, cz_n = _bl_to_cart(r_n, th_n, ph_n, a)
+    dxc = cx_n - cx
+    dyc = cy_n - cy
+    dzc = cz_n - cz
+    step_len = jnp.sqrt(dxc * dxc + dyc * dyc + dzc * dzc + 1e-24)
+    inv_len = 1.0 / jnp.maximum(step_len, EPSILON)
+    dist_n = dist + jnp.where(advance, step_len, 0.0)
+    lx_n = jnp.where(advance, dxc * inv_len, lx)
+    ly_n = jnp.where(advance, dyc * inv_len, ly)
+    lz_n = jnp.where(advance, dzc * inv_len, lz)
+
+    # --- disk crossing (inline sign change; trace.trace_step) ---
+    if disk_enabled:
+        z_prev = -sin_incl * cy + cos_incl * cz
+        z_new = -sin_incl * cy_n + cos_incl * cz_n
+        crossed = (z_prev * z_new < 0.0) & advance
+        denom = z_prev - z_new
+        frac = z_prev / jnp.where(
+            jnp.abs(denom) < EPSILON, EPSILON, denom
+        )
+        px = cx + frac * dxc
+        py = cy + frac * dyc
+        pz = cz + frac * dzc
+        yp = cos_incl * py + sin_incl * pz
+        r_plane = jnp.sqrt(px * px + yp * yp)
+        in_annulus = (r_plane >= disk_inner) & (r_plane <= disk_outer)
+        disk_hit = crossed & in_annulus
+        result = jnp.where(disk_hit, float(RayResult.DISK), result)
+        hx = jnp.where(disk_hit, px, hx)
+        hy = jnp.where(disk_hit, py, hy)
+        hz = jnp.where(disk_hit, pz, hz)
+        dist_n = jnp.where(disk_hit, dist + frac * step_len, dist_n)
+
+    still = result == float(trace.ACTIVE)
+
+    # --- horizon capture + momentum pinning + NaN scrub ---
+    pinned = (pr_n < -1e6) | (jnp.abs(pr_n) > 1e7)
+    captured = still & active & ((r_n <= r_capture) | pinned | ~finite)
+    result = jnp.where(captured, float(RayResult.HORIZON), result)
+    hx = jnp.where(captured, cx_n, hx)
+    hy = jnp.where(captured, cy_n, hy)
+    hz = jnp.where(captured, cz_n, hz)
+    still = result == float(trace.ACTIVE)
+
+    # --- path-length budget ---
+    budget = still & advance & (dist_n >= max_dist)
+    result = jnp.where(budget, float(RayResult.MAX_DISTANCE), result)
+    hx = jnp.where(budget, cx_n, hx)
+    hy = jnp.where(budget, cy_n, hy)
+    hz = jnp.where(budget, cz_n, hz)
+    still = result == float(trace.ACTIVE)
+
+    # --- radial escape ---
+    escaped = still & advance & (r_n >= max_dist) & (pr_n > 0.0)
+    result = jnp.where(escaped, float(RayResult.BACKGROUND), result)
+    hx = jnp.where(escaped, cx_n, hx)
+    hy = jnp.where(escaped, cy_n, hy)
+    hz = jnp.where(escaped, cz_n, hz)
+
+    cx_k = jnp.where(advance, cx_n, cx)
+    cy_k = jnp.where(advance, cy_n, cy)
+    cz_k = jnp.where(advance, cz_n, cz)
+    # NOT active.astype(f32) + add: Mosaic (as of jax 0.9) fails with an
+    # "Invalid relayout" on bool->f32 vector casts here.
+    steps_n = jnp.where(active, steps + 1.0, steps)
+    return (r_n, th_n, ph_n, pr_n, pth_n, cx_k, cy_k, cz_k,
+            dist_n, steps_n, result, hx, hy, hz, lx_n, ly_n, lz_n)
+
+
+def _load_init(inp_ref, base):
+    """State tuple from the input planes of one tile."""
+    r0 = inp_ref[base, 0]
+    th0 = inp_ref[base, 1]
+    ph0 = inp_ref[base, 2]
+    pr0 = inp_ref[base, 3]
+    pth0 = inp_ref[base, 4]
+    cx0 = inp_ref[base, 6]
+    cy0 = inp_ref[base, 7]
+    cz0 = inp_ref[base, 8]
+    ldx0 = inp_ref[base, 9]
+    ldy0 = inp_ref[base, 10]
+    ldz0 = inp_ref[base, 11]
+    # r0 is loaded from VMEM, so it carries a non-replicated vector
+    # layout; derive every init value from it.  A jnp.zeros_like /
+    # jnp.full splat would enter the while carry with a *replicated*
+    # Mosaic layout, and the loop body's non-replicated updates then
+    # need a {0,0} -> {*,*} relayout at the backedge, which Mosaic
+    # rejects ("Invalid relayout", jax 0.9).
+    zeros = r0 * 0.0
+    result0 = zeros + float(trace.ACTIVE)
+    return (r0, th0, ph0, pr0, pth0, cx0, cy0, cz0, zeros, zeros,
+            result0, cx0, cy0, cz0, ldx0, ldy0, ldz0)
+
+
+def _store_out(out_ref, offset, state):
+    """Write the 12 output planes starting at component `offset`."""
+    (r_f, _, _, _, _, cx_f, cy_f, cz_f, dist_f, steps_f,
+     result_f, hx_f, hy_f, hz_f, lx_f, ly_f, lz_f) = state
+    out_ref[0, offset + 0] = result_f
+    out_ref[0, offset + 1] = dist_f
+    out_ref[0, offset + 2] = steps_f
+    out_ref[0, offset + 3] = hx_f
+    out_ref[0, offset + 4] = hy_f
+    out_ref[0, offset + 5] = hz_f
+    out_ref[0, offset + 6] = lx_f
+    out_ref[0, offset + 7] = ly_f
+    out_ref[0, offset + 8] = lz_f
+    out_ref[0, offset + 9] = cx_f
+    out_ref[0, offset + 10] = cy_f
+    out_ref[0, offset + 11] = cz_f
+
+
 def _make_kernel(disk_enabled: bool, max_steps: int):
     """Build the kernel body; disk handling and the step budget are
     compiled in (max_steps is static in SimConfig)."""
 
     def kernel(scal_ref, inp_ref, out_ref):
-        M = scal_ref[0]
-        a = scal_ref[1]
-        dt = scal_ref[2]
-        max_dist = scal_ref[3]
-        r_capture = scal_ref[4]
-        disk_inner = scal_ref[5]
-        disk_outer = scal_ref[6]
-        sin_incl = scal_ref[7]
-        cos_incl = scal_ref[8]
-
-        rs = 2.0 * M
-
-        # Initial state (precomputed on host side of the pallas_call):
-        # inp components: r, th, ph, pr, pth, L, cx, cy, cz, ldx, ldy, ldz
-        r0 = inp_ref[0, 0]
-        th0 = inp_ref[0, 1]
-        ph0 = inp_ref[0, 2]
-        pr0 = inp_ref[0, 3]
-        pth0 = inp_ref[0, 4]
-        L = inp_ref[0, 5]
-        cx0 = inp_ref[0, 6]
-        cy0 = inp_ref[0, 7]
-        cz0 = inp_ref[0, 8]
-        ldx0 = inp_ref[0, 9]
-        ldy0 = inp_ref[0, 10]
-        ldz0 = inp_ref[0, 11]
-
-        # r0 is loaded from VMEM, so it carries a non-replicated vector
-        # layout; derive every init value from it.  A jnp.zeros_like /
-        # jnp.full splat would enter the while carry with a *replicated*
-        # Mosaic layout, and the loop body's non-replicated updates then
-        # need a {0,0} -> {*,*} relayout at the backedge, which Mosaic
-        # rejects ("Invalid relayout", jax 0.9).
-        zeros = r0 * 0.0
-        result0 = zeros + float(trace.ACTIVE)
+        scal = tuple(scal_ref[k] for k in range(_N_SCAL_PLANES)) + (
+            inp_ref[0, 5],  # L (per-ray constant)
+        )
+        state0 = _load_init(inp_ref, 0)
 
         def cond(carry):
             # Mosaic cannot lower a vector->scalar reduction inside the
@@ -172,154 +308,169 @@ def _make_kernel(disk_enabled: bool, max_steps: int):
             return (i < max_steps) & (n_active > 0)
 
         def body(carry):
-            (i, _n_active, r, th, ph, pr, pth, cx, cy, cz, dist, steps,
-             result, hx, hy, hz, lx, ly, lz) = carry
-            active = result == float(trace.ACTIVE)
-
-            # Step size schedule (trace.step_size_schedule).
-            h = dt * jnp.clip(r / (7.5 * rs), 0.05, 20.0)
-            h = jnp.minimum(h, 0.5 * (r - r_capture) + 1e-3 * dt)
-            h = jnp.maximum(h, 1e-4 * dt)
-
-            # RK4 over (r, th, ph, pr, pth).
-            k1 = _rhs(r, th, pr, pth, L, M, a)
-            k2 = _rhs(
-                r + 0.5 * h * k1[0], th + 0.5 * h * k1[1],
-                pr + 0.5 * h * k1[3], pth + 0.5 * h * k1[4], L, M, a,
-            )
-            k3 = _rhs(
-                r + 0.5 * h * k2[0], th + 0.5 * h * k2[1],
-                pr + 0.5 * h * k2[3], pth + 0.5 * h * k2[4], L, M, a,
-            )
-            k4 = _rhs(
-                r + h * k3[0], th + h * k3[1],
-                pr + h * k3[3], pth + h * k3[4], L, M, a,
-            )
-            sixth = h / 6.0
-            r_t = r + sixth * (k1[0] + 2.0 * (k2[0] + k3[0]) + k4[0])
-            th_t = th + sixth * (k1[1] + 2.0 * (k2[1] + k3[1]) + k4[1])
-            ph_t = ph + sixth * (k1[2] + 2.0 * (k2[2] + k3[2]) + k4[2])
-            pr_t = pr + sixth * (k1[3] + 2.0 * (k2[3] + k3[3]) + k4[3])
-            pth_t = pth + sixth * (k1[4] + 2.0 * (k2[4] + k3[4]) + k4[4])
-
-            finite = (
-                jnp.isfinite(r_t) & jnp.isfinite(th_t) & jnp.isfinite(ph_t)
-                & jnp.isfinite(pr_t) & jnp.isfinite(pth_t)
-            )
-            advance = active & finite
-            r_n = jnp.where(advance, r_t, r)
-            th_n = jnp.where(advance, th_t, th)
-            ph_n = jnp.where(advance, ph_t, ph)
-            pr_n = jnp.where(advance, pr_t, pr)
-            pth_n = jnp.where(advance, pth_t, pth)
-
-            cx_n, cy_n, cz_n = _bl_to_cart(r_n, th_n, ph_n, a)
-            dxc = cx_n - cx
-            dyc = cy_n - cy
-            dzc = cz_n - cz
-            step_len = jnp.sqrt(dxc * dxc + dyc * dyc + dzc * dzc + 1e-24)
-            inv_len = 1.0 / jnp.maximum(step_len, EPSILON)
-            dist_n = dist + jnp.where(advance, step_len, 0.0)
-            lx_n = jnp.where(advance, dxc * inv_len, lx)
-            ly_n = jnp.where(advance, dyc * inv_len, ly)
-            lz_n = jnp.where(advance, dzc * inv_len, lz)
-
-            # --- disk crossing (inline sign change; trace.trace_step) ---
-            if disk_enabled:
-                z_prev = -sin_incl * cy + cos_incl * cz
-                z_new = -sin_incl * cy_n + cos_incl * cz_n
-                crossed = (z_prev * z_new < 0.0) & advance
-                denom = z_prev - z_new
-                frac = z_prev / jnp.where(
-                    jnp.abs(denom) < EPSILON, EPSILON, denom
-                )
-                px = cx + frac * dxc
-                py = cy + frac * dyc
-                pz = cz + frac * dzc
-                yp = cos_incl * py + sin_incl * pz
-                r_plane = jnp.sqrt(px * px + yp * yp)
-                in_annulus = (r_plane >= disk_inner) & (
-                    r_plane <= disk_outer
-                )
-                disk_hit = crossed & in_annulus
-                result = jnp.where(
-                    disk_hit, float(RayResult.DISK), result
-                )
-                hx = jnp.where(disk_hit, px, hx)
-                hy = jnp.where(disk_hit, py, hy)
-                hz = jnp.where(disk_hit, pz, hz)
-                dist_n = jnp.where(disk_hit, dist + frac * step_len, dist_n)
-
-            still = result == float(trace.ACTIVE)
-
-            # --- horizon capture + momentum pinning + NaN scrub ---
-            pinned = (pr_n < -1e6) | (jnp.abs(pr_n) > 1e7)
-            captured = still & active & (
-                (r_n <= r_capture) | pinned | ~finite
-            )
-            result = jnp.where(captured, float(RayResult.HORIZON), result)
-            hx = jnp.where(captured, cx_n, hx)
-            hy = jnp.where(captured, cy_n, hy)
-            hz = jnp.where(captured, cz_n, hz)
-            still = result == float(trace.ACTIVE)
-
-            # --- path-length budget ---
-            budget = still & advance & (dist_n >= max_dist)
-            result = jnp.where(
-                budget, float(RayResult.MAX_DISTANCE), result
-            )
-            hx = jnp.where(budget, cx_n, hx)
-            hy = jnp.where(budget, cy_n, hy)
-            hz = jnp.where(budget, cz_n, hz)
-            still = result == float(trace.ACTIVE)
-
-            # --- radial escape ---
-            escaped = still & advance & (r_n >= max_dist) & (pr_n > 0.0)
-            result = jnp.where(
-                escaped, float(RayResult.BACKGROUND), result
-            )
-            hx = jnp.where(escaped, cx_n, hx)
-            hy = jnp.where(escaped, cy_n, hy)
-            hz = jnp.where(escaped, cz_n, hz)
-
-            cx_k = jnp.where(advance, cx_n, cx)
-            cy_k = jnp.where(advance, cy_n, cy)
-            cz_k = jnp.where(advance, cz_n, cz)
-            # NOT active.astype(f32) + add: Mosaic (as of jax 0.9) fails
-            # with an "Invalid relayout" on bool->f32 vector casts here.
-            steps_n = jnp.where(active, steps + 1.0, steps)
+            i, _n, *state = carry
+            new = _step_update(tuple(state), scal, disk_enabled)
             n_active = jnp.sum(
-                (result == float(trace.ACTIVE)).astype(jnp.int32)
+                (new[10] == float(trace.ACTIVE)).astype(jnp.int32)
             ).astype(jnp.int32)
-            return (
-                i + 1, n_active, r_n, th_n, ph_n, pr_n, pth_n,
-                cx_k, cy_k, cz_k,
-                dist_n, steps_n, result, hx, hy, hz, lx_n, ly_n, lz_n,
-            )
+            return (i + 1, n_active) + new
 
-        init = (
-            jnp.int32(0), jnp.int32(TILE),
-            r0, th0, ph0, pr0, pth0, cx0, cy0, cz0,
-            zeros, zeros, result0, cx0, cy0, cz0, ldx0, ldy0, ldz0,
-        )
+        init = (jnp.int32(0), jnp.int32(TILE)) + state0
         final = jax.lax.while_loop(cond, body, init)
-        (_, _, r_f, _, _, _, _, cx_f, cy_f, cz_f, dist_f, steps_f,
-         result_f, hx_f, hy_f, hz_f, lx_f, ly_f, lz_f) = final
-
-        out_ref[0, 0] = result_f
-        out_ref[0, 1] = dist_f
-        out_ref[0, 2] = steps_f
-        out_ref[0, 3] = hx_f
-        out_ref[0, 4] = hy_f
-        out_ref[0, 5] = hz_f
-        out_ref[0, 6] = lx_f
-        out_ref[0, 7] = ly_f
-        out_ref[0, 8] = lz_f
-        out_ref[0, 9] = cx_f
-        out_ref[0, 10] = cy_f
-        out_ref[0, 11] = cz_f
+        _store_out(out_ref, 0, final[2:])
 
     return kernel
+
+
+def _make_kernel_jvp(disk_enabled: bool, max_steps: int):
+    """Tangent-augmented kernel: integrates (state, dstate) together,
+    with the tangent recurrence generated by jax.jvp of _step_update
+    *inside* the kernel.  One tangent direction per call (the caller
+    loops/backs over parameter basis directions).
+
+    This is the forward-mode path for few-parameter gradients
+    (mass, spin, camera pose): cost ~ 3x the plain kernel per direction,
+    no checkpointing, full early exit — versus the reverse-mode scan
+    driver which cannot early-exit and rematerializes.
+    """
+
+    def kernel(scal_ref, dscal_ref, inp_ref, dinp_ref, out_ref):
+        scal = tuple(scal_ref[k] for k in range(_N_SCAL_PLANES)) + (
+            inp_ref[0, 5],
+        )
+        dscal = tuple(dscal_ref[k] for k in range(_N_SCAL_PLANES)) + (
+            dinp_ref[0, 5],
+        )
+        state0 = _load_init(inp_ref, 0)
+        dstate0 = _load_init(dinp_ref, 0)
+        # Tangents of (dist, steps, result) start at exact zero; the
+        # _load_init trick put result0 = ACTIVE into slot 10 of the
+        # tangent tuple, so rebuild those three slots from dinp zeros.
+        dzero = dinp_ref[0, 0] * 0.0
+        dstate0 = dstate0[:8] + (dzero, dzero, dzero) + dstate0[11:]
+
+        n_state = len(state0)
+
+        def f(state, scal_in):
+            return _step_update(state, scal_in, disk_enabled)
+
+        def cond(carry):
+            (i, n_active, *_rest) = carry
+            return (i < max_steps) & (n_active > 0)
+
+        def body(carry):
+            i, _n = carry[0], carry[1]
+            state = tuple(carry[2:2 + n_state])
+            dstate = tuple(carry[2 + n_state:])
+            new, dnew = jax.jvp(f, (state, scal), (dstate, dscal))
+            n_active = jnp.sum(
+                (new[10] == float(trace.ACTIVE)).astype(jnp.int32)
+            ).astype(jnp.int32)
+            return (i + 1, n_active) + new + dnew
+
+        init = (jnp.int32(0), jnp.int32(TILE)) + state0 + dstate0
+        final = jax.lax.while_loop(cond, body, init)
+        _store_out(out_ref, 0, final[2:2 + n_state])
+        _store_out(out_ref, 12, final[2 + n_state:])
+
+    return kernel
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=64)
+def _get_core(grid: int, disk_on: bool, max_steps: int, interpret: bool):
+    """Cached, config-specialized pallas core with a custom JVP.
+
+    core(scal_planes (9,8,128), inp_planes (grid,12,8,128)) ->
+    out (grid,12,8,128).  Forward-mode differentiation runs the
+    tangent-augmented kernel (one extra call per tangent direction);
+    reverse mode is NOT defined here — use blackhole_tpu.grad for that.
+    """
+
+    def _call_plain(scal, inp):
+        return pl.pallas_call(
+            _make_kernel(disk_on, max_steps),
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec(
+                    (_N_SCAL_PLANES, TILE_ROWS, TILE_LANES),
+                    lambda g: (0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 12, TILE_ROWS, TILE_LANES),
+                    lambda g: (g, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 12, TILE_ROWS, TILE_LANES),
+                lambda g: (g, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct(
+                (grid, 12, TILE_ROWS, TILE_LANES), jnp.float32
+            ),
+            interpret=interpret,
+        )(scal, inp)
+
+    def _call_jvp(scal, dscal, inp, dinp):
+        out = pl.pallas_call(
+            _make_kernel_jvp(disk_on, max_steps),
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec(
+                    (_N_SCAL_PLANES, TILE_ROWS, TILE_LANES),
+                    lambda g: (0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (_N_SCAL_PLANES, TILE_ROWS, TILE_LANES),
+                    lambda g: (0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 12, TILE_ROWS, TILE_LANES),
+                    lambda g: (g, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 12, TILE_ROWS, TILE_LANES),
+                    lambda g: (g, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 24, TILE_ROWS, TILE_LANES),
+                lambda g: (g, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct(
+                (grid, 24, TILE_ROWS, TILE_LANES), jnp.float32
+            ),
+            interpret=interpret,
+        )(scal, dscal, inp, dinp)
+        return out[:, :12], out[:, 12:]
+
+    @jax.custom_jvp
+    def core(scal, inp):
+        return _call_plain(scal, inp)
+
+    @core.defjvp
+    def core_jvp(primals, tangents):
+        scal, inp = primals
+        dscal, dinp = tangents
+        dscal = jnp.zeros_like(scal) if isinstance(
+            dscal, jax.custom_derivatives.SymbolicZero
+        ) else dscal
+        dinp = jnp.zeros_like(inp) if isinstance(
+            dinp, jax.custom_derivatives.SymbolicZero
+        ) else dinp
+        return _call_jvp(scal, dscal, inp, dinp)
+
+    return core
 
 
 @partial(jax.jit, static_argnames=("interpret",))
@@ -328,7 +479,10 @@ def trace_rays_pallas(origins, directions, scene: Scene,
     """Pallas-accelerated equivalent of trace.trace_rays (RK4 path).
 
     origins/directions: (..., 3) float32.  Integrator must be RK4; other
-    integrators use the XLA while_loop path.
+    integrators use the XLA while_loop path.  Forward-mode
+    differentiable end-to-end (jax.jvp / jax.jacfwd) via the
+    tangent-augmented kernel; for reverse mode use
+    blackhole_tpu.grad.diff_trace.
     """
     if scene.config.integrator != Integrator.RK4:
         raise ValueError("pallas kernel supports the RK4 integrator only")
@@ -378,34 +532,11 @@ def trace_rays_pallas(origins, directions, scene: Scene,
         scal[:, None, None], (_N_SCAL_PLANES, TILE_ROWS, TILE_LANES)
     )
 
-    out = pl.pallas_call(
-        _make_kernel(disk_on, int(cfg.max_steps)),
-        grid=(grid,),
-        in_specs=[
-            pl.BlockSpec(
-                (_N_SCAL_PLANES, TILE_ROWS, TILE_LANES),
-                lambda g: (0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, 12, TILE_ROWS, TILE_LANES),
-                lambda g: (g, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, 12, TILE_ROWS, TILE_LANES),
-            lambda g: (g, 0, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct(
-            (grid, 12, TILE_ROWS, TILE_LANES), jnp.float32
-        ),
-        interpret=interpret,
-    )(scal, inp)
+    core = _get_core(grid, disk_on, int(cfg.max_steps), interpret)
+    out = core(scal, inp)
 
     flat = out.transpose(1, 0, 2, 3).reshape(12, n_total)[:, :n]
-    result = flat[0].astype(jnp.int32)
+    result = jax.lax.stop_gradient(flat[0]).astype(jnp.int32)
     result = jnp.where(
         result == trace.ACTIVE, RayResult.MAX_STEPS, result
     )
@@ -414,7 +545,7 @@ def trace_rays_pallas(origins, directions, scene: Scene,
         h=jnp.zeros((n,), jnp.float32),
         L=L[:n],
         dist=flat[1],
-        steps=flat[2].astype(jnp.int32),
+        steps=jax.lax.stop_gradient(flat[2]).astype(jnp.int32),
         result=result,
         cart=flat[9:12].T,
         hit_pos=flat[3:6].T,

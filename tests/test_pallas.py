@@ -68,6 +68,49 @@ def test_pallas_pads_non_tile_batch():
     )
 
 
+def test_pallas_forward_mode_gradients():
+    """jax.jvp through the tangent-augmented kernel must match the
+    reverse-mode checkpointed scan driver."""
+    import dataclasses
+
+    import jax
+
+    from blackhole_tpu.grad import diff_trace
+
+    scene, o, d = make_case(0.9, True, max_steps=200)
+    o, d = o[:256], d[:256]
+    m0, a0 = jnp.float32(1.0), jnp.float32(0.9)
+
+    def loss_pallas(mass, spin):
+        s = dataclasses.replace(
+            scene,
+            blackhole=dataclasses.replace(
+                scene.blackhole, mass=mass, spin=spin
+            ),
+        )
+        hit = pallas_kernel.trace_rays_pallas(o, d, s, interpret=True)
+        return jnp.sum(hit.color) / hit.color.size
+
+    def loss_rev(mass, spin):
+        s = dataclasses.replace(
+            scene,
+            blackhole=dataclasses.replace(
+                scene.blackhole, mass=mass, spin=spin
+            ),
+        )
+        hit = diff_trace.trace_rays_diff(o, d, s)
+        return jnp.sum(hit.color) / hit.color.size
+
+    v1, dm = jax.jvp(lambda m: loss_pallas(m, a0), (m0,),
+                     (jnp.float32(1.0),))
+    _, da = jax.jvp(lambda a: loss_pallas(m0, a), (a0,),
+                    (jnp.float32(1.0),))
+    v2, (gm, ga) = jax.value_and_grad(loss_rev, argnums=(0, 1))(m0, a0)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
+    np.testing.assert_allclose(float(dm), float(gm), rtol=1e-3, atol=1e-8)
+    np.testing.assert_allclose(float(da), float(ga), rtol=1e-3, atol=1e-8)
+
+
 def test_pallas_rejects_non_rk4():
     scene, o, d = make_case(0.9, True)
     import dataclasses
