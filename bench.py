@@ -10,12 +10,14 @@ of a scalar image loss w.r.t. (mass, spin) through the checkpointed
 geodesic integrator.
 
 vs_baseline: the reference C engine (unmodified, built -O2 from
-/root/reference/src, its real physics path: Schwarzschild geodesics with
-the same camera / disk / 1000-step budget) measures 7223 rays/s
-single-thread forward-only on this container's host CPU (2 cores; its
-batch API is sequential — raytracer.c:795-804 — and OpenMP is advertised
-but not wired).  vs_baseline = our fwd+bwd rays/s per chip divided by
-that forward-only number.
+/root/reference/src, its real physics path: Schwarzschild geodesics,
+1000-step budget; every reference ray exhausts the full budget — see
+tools/ref_parity.py) measured single-thread forward-only on this
+container's host CPU by tools/ref_parity.py, which records the number
+in tools/ref_baseline.json (its batch API is sequential —
+raytracer.c:795-804 — and OpenMP is advertised but not wired).
+vs_baseline = our fwd+bwd rays/s per chip divided by that forward-only
+number.
 """
 
 from __future__ import annotations
@@ -23,9 +25,24 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
+import sys
 import time
 
-C_REFERENCE_RAYS_PER_S = 7223.1  # see module docstring for methodology
+# Fallback when tools/ref_baseline.json is absent (value from the last
+# recorded tools/ref_parity.py run on this container class).
+C_REFERENCE_RAYS_PER_S = 4117.1
+
+
+def _c_baseline():
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tools", "ref_baseline.json",
+    )
+    try:
+        with open(path) as f:
+            return float(json.load(f)["c_rays_per_s_fwd_single_thread"])
+    except (OSError, KeyError, ValueError):
+        return C_REFERENCE_RAYS_PER_S
 
 WIDTH = HEIGHT = int(os.environ.get("BENCH_SIZE", "1024"))
 MAX_STEPS = int(os.environ.get("BENCH_STEPS", "1000"))
@@ -79,12 +96,11 @@ def main():
         return hit.color
 
     # --- forward+backward w.r.t. (mass, spin) ---
-    # Chunked gradient accumulation with per-chunk step buckets: a cheap
-    # forward sizes each chunk, and its backward scan runs only in the
-    # smallest bucket that covers it (blackhole_tpu.grad.bucketed).
-    # Identical gradients, short device executions, bounded memory.
-    from blackhole_tpu.grad import bucketed
-
+    # Default (BENCH_GRAD=fwd): forward-mode through the tangent-
+    # augmented Pallas kernel — one jvp per parameter, full per-tile
+    # early exit, no rematerialization (blackhole_tpu.grad.fast_grad).
+    # BENCH_GRAD=bucketed selects the reverse-mode step-bucketed
+    # checkpointed-scan path (the many-parameter engine).
     def scene_fn(params):
         return dataclasses.replace(
             scene,
@@ -93,17 +109,35 @@ def main():
             ),
         )
 
-    def loss_fn(colors, idx):
-        return jnp.sum(colors) / (3.0 * n_rays)
+    grad_mode = os.environ.get("BENCH_GRAD", "fwd")
+    if grad_mode == "fwd":
+        from blackhole_tpu.grad import fast_grad
 
-    _bucket_cache = {}
+        def loss(params, o_all, d_all):
+            hit = image_mod.trace_rays_fast(
+                o_all.reshape(-1, 3), d_all.reshape(-1, 3),
+                scene_fn(params),
+            )
+            return jnp.sum(hit.color) / (3.0 * n_rays)
 
-    def fwdbwd(mass, spin, o, d):
-        params = {"mass": mass, "spin": spin}
-        return bucketed.grad_over_chunks(
-            scene_fn, params, o.reshape(-1, 3), d.reshape(-1, 3),
-            loss_fn, chunks=CHUNKS, cache=_bucket_cache,
-        )
+        _vg = jax.jit(fast_grad.value_and_grad_fwd(loss))
+
+        def fwdbwd(mass, spin, o, d):
+            return _vg({"mass": mass, "spin": spin}, o, d)
+    else:
+        from blackhole_tpu.grad import bucketed
+
+        def loss_fn(colors, idx):
+            return jnp.sum(colors) / (3.0 * n_rays)
+
+        _bucket_cache = {}
+
+        def fwdbwd(mass, spin, o, d):
+            params = {"mass": mass, "spin": spin}
+            return bucketed.grad_over_chunks(
+                scene_fn, params, o.reshape(-1, 3), d.reshape(-1, 3),
+                loss_fn, chunks=CHUNKS, cache=_bucket_cache,
+            )
 
     def timeit(fn, *args):
         """Each repeat perturbs mass in the last ulp-ish digit so a
@@ -123,6 +157,23 @@ def main():
     spin = jnp.float32(0.9)
     t_fwdbwd = timeit(lambda m, o, d: fwdbwd(m, spin, o, d), o, d)
 
+    # Compiled-kernel parity record (tools/tpu_parity.py): every bench
+    # run doubles as evidence that the compiled Mosaic kernels agree
+    # with the XLA path on this backend.
+    parity = "skipped"
+    if platform == "tpu" and os.environ.get("BENCH_SKIP_PARITY") != "1":
+        sys.path.insert(
+            0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "tools")
+        )
+        try:
+            import tpu_parity
+
+            parity = "ok" if tpu_parity.run_parity_checks()["ok"] else \
+                "failed"
+        except AssertionError as e:  # record, don't hide, a violation
+            parity = f"failed: {e}"
+
     rays_fwd = n_rays / t_fwd
     rays_fwdbwd = n_rays / t_fwdbwd
     print(
@@ -132,10 +183,10 @@ def main():
                           f"{WIDTH}x{HEIGHT}_{MAX_STEPS}steps",
                 "value": round(rays_fwdbwd, 1),
                 "unit": "rays/s/chip",
-                "vs_baseline": round(
-                    rays_fwdbwd / C_REFERENCE_RAYS_PER_S, 2
-                ),
+                "vs_baseline": round(rays_fwdbwd / _c_baseline(), 2),
                 "rays_per_s_fwd": round(rays_fwd, 1),
+                "grad_mode": grad_mode,
+                "compiled_parity": parity,
                 "platform": platform,
                 "n_devices": len(jax.devices()),
             }

@@ -200,12 +200,50 @@ def run_fit(args):
     )
 
 
+def run_view(args):
+    """Interactive refining viewer (renderer.cpp:269-861 equivalent)."""
+    from blackhole_tpu.viz import viewer
+
+    state = viewer.ViewerState(
+        mass=args.mass, spin=args.spin, fov=args.fov,
+        distance=args.dist, steps=args.steps,
+    )
+    stats = viewer.run(
+        state, width=args.width, height=args.height,
+        max_frames=args.frames,
+        commands=args.script.split(";") if args.script else None,
+        draw=not args.headless,
+    )
+    if args.headless:
+        print(
+            f"viewer: {stats['frames']} frames, {stats['resets']} resets, "
+            f"tiers {stats['tiers'][:6]}..., "
+            f"median fps {sorted(stats['fps'])[len(stats['fps']) // 2]:.2f}"
+        )
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(
         prog="blackhole_tpu", description=__doc__
     )
     sub = parser.add_subparsers(dest="cmd")
     sub.add_parser("tests", help="run the main.c-equivalent demo tables")
+    pv = sub.add_parser(
+        "view", help="interactive refining terminal viewer"
+    )
+    pv.add_argument("--width", type=int, default=128)
+    pv.add_argument("--height", type=int, default=72)
+    pv.add_argument("--mass", type=float, default=1.0)
+    pv.add_argument("--spin", type=float, default=0.5)
+    pv.add_argument("--fov", type=float, default=22.0)
+    pv.add_argument("--dist", type=float, default=35.0)
+    pv.add_argument("--steps", type=int, default=400)
+    pv.add_argument("--frames", type=int, default=None,
+                    help="stop after N frames (default: run until quit)")
+    pv.add_argument("--script", type=str, default=None,
+                    help="';'-separated commands consumed one per frame")
+    pv.add_argument("--headless", action="store_true",
+                    help="no terminal drawing; print stats at the end")
     pr = sub.add_parser("render", help="render an image")
     pr.add_argument("--width", type=int, default=256)
     pr.add_argument("--height", type=int, default=256)
@@ -229,6 +267,8 @@ def main(argv=None):
         run_render(args)
     elif args.cmd == "fit":
         run_fit(args)
+    elif args.cmd == "view":
+        run_view(args)
     return 0
 
 

@@ -45,21 +45,6 @@ def _chunk_steps(o_blk, d_blk, scene: Scene):
     return jnp.max(hit.steps)
 
 
-def make_chunk_grad(loss_of_colors, bucket: int):
-    """Jitted value_and_grad of scalar_params -> loss over one chunk,
-    with the integration budget fixed to `bucket` steps.
-
-    loss_of_colors(colors, aux) -> scalar; scene built by caller-supplied
-    scene_fn(params).
-    """
-
-    @jax.jit
-    def chunk_grad(params, scene_template, o_blk, d_blk, aux, scene_fn):
-        raise NotImplementedError  # placeholder; see grad_over_chunks
-
-    return chunk_grad
-
-
 def grad_over_chunks(
     scene_fn,
     params,

@@ -1,0 +1,89 @@
+"""Few-parameter gradients via forward mode through the Pallas kernel.
+
+The headline differentiable-rendering workload (BASELINE config 5 / the
+bench) needs d(loss)/d(params) for a handful of scalars — mass, spin,
+disk radii, camera pose components.  Reverse mode must checkpoint and
+re-integrate the geodesic scan with no early exit
+(blackhole_tpu.grad.diff_trace); forward mode instead propagates one
+tangent per parameter *inside* the fused Pallas kernel
+(render.pallas_kernel._make_kernel_jvp): full per-tile early exit, no
+rematerialization, ~2-3x the plain forward kernel per direction.  For
+k <= ~10 parameters this is the fast path by one to two orders of
+magnitude; for many-parameter problems use diff_trace/bucketed.
+
+The reference C engine has no differentiability at all (SURVEY.md §2
+parallelism table, last row); this module is part of the new capability
+that motivates the TPU build.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _flatten_scalars(params):
+    """Flatten a pytree into a list of scalar components.
+
+    Returns (values, rebuild) where values is a list of () arrays and
+    rebuild(list) -> pytree.  Array leaves are split per component so
+    every tangent direction is a single scalar.
+    """
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    shapes = [jnp.shape(l) for l in leaves]
+    sizes = [int(jnp.size(l)) for l in leaves]
+    values = []
+    for leaf, size in zip(leaves, sizes):
+        flat = jnp.reshape(jnp.asarray(leaf), (-1,))
+        values.extend(flat[i] for i in range(size))
+
+    def rebuild(vals):
+        out = []
+        k = 0
+        for shape, size, leaf in zip(shapes, sizes, leaves):
+            dtype = jnp.asarray(leaf).dtype
+            out.append(
+                jnp.reshape(
+                    jnp.stack([jnp.asarray(v, dtype) for v in
+                               vals[k:k + size]]), shape
+                )
+            )
+            k += size
+        return jax.tree_util.tree_unflatten(treedef, out)
+
+    return values, rebuild
+
+
+def value_and_grad_fwd(fun):
+    """Forward-mode value_and_grad for functions of few scalars.
+
+    fun(params, *args) -> scalar loss, params a pytree of scalars/small
+    arrays.  Returns g(params, *args) -> (loss, grads) computed with one
+    jax.jvp per scalar component of params — each jvp runs the
+    tangent-augmented Pallas kernel when fun renders through
+    trace_rays_pallas / image.trace_rays_fast.
+
+    Unlike jax.jacfwd this never vmaps over tangents (the Pallas kernel
+    is specialized to a single tangent set), and unlike
+    jax.value_and_grad it never transposes the integrator.
+    """
+
+    def value_and_grad(params, *args):
+        values, rebuild = _flatten_scalars(params)
+        n = len(values)
+
+        def f_flat(vals):
+            return fun(rebuild(vals), *args)
+
+        loss = None
+        grads = []
+        for i in range(n):
+            tangent = [
+                jnp.ones_like(v) if j == i else jnp.zeros_like(v)
+                for j, v in enumerate(values)
+            ]
+            loss, dv = jax.jvp(f_flat, (values,), (tangent,))
+            grads.append(dv)
+        return loss, rebuild(grads)
+
+    return value_and_grad

@@ -76,11 +76,16 @@ def effective_potential(r, l, M, a_over_M=0.0):
     Kerr branch mirrors the reference's simplified equatorial form."""
     rs = 2.0 * M
     a = a_over_M * M
-    r = jnp.maximum(r, rs + EPSILON)
-    schw = (1.0 - rs / r) * (1.0 + (l * l) / (r * r))
+    # Branch-specific singularity guards, as in the reference: the
+    # Schwarzschild form clamps at rs (spacetime.c:248-250), the Kerr
+    # form at the outer horizon r+ (spacetime.c:261-264).
+    r_s = jnp.maximum(r, rs + EPSILON)
+    schw = (1.0 - rs / r_s) * (1.0 + (l * l) / (r_s * r_s))
+    r_plus = M + jnp.sqrt(jnp.maximum(M * M - a * a, 0.0))
+    r_k = jnp.maximum(r, r_plus + EPSILON)
     E = 1.0
-    kerr = (E * E - 1.0) + (2.0 * M / r) * (
-        l * l / (r * r) - 2.0 * M * a * l / (r * r * r)
+    kerr = (E * E - 1.0) + (2.0 * M / r_k) * (
+        l * l / (r_k * r_k) - 2.0 * M * a * l / (r_k * r_k * r_k)
     )
     return jnp.where(a_over_M == 0.0, schw, kerr)
 

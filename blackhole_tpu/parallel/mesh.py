@@ -97,8 +97,13 @@ def render_image_sharded(
             mesh=mesh,
             in_specs=(P(RAY_AXIS, None, None), P(RAY_AXIS, None, None)),
             out_specs=P(RAY_AXIS, None, None),
-            # The while_loop carry mixes replicated scene scalars into
-            # per-ray state; skip the varying-manual-axes typing.
+            # Varying-manual-axes checking stays off by necessity, not
+            # convenience: trace's while_loop carry seeds result/steps
+            # from jnp.full (unvarying under VMA typing) and updates
+            # them from per-ray state (varying), so the carry types can
+            # never match without threading the mesh axis name into
+            # trace.init_carry.  Correctness is covered instead by
+            # test_parallel's sharded==single-device equality.
             check_vma=False,
         )(o, d)
         acc = frame if acc is None else acc + frame
@@ -161,7 +166,7 @@ def loss_and_grad_sharded(
             P(RAY_AXIS, None, None),
         ),
         out_specs=(P(), P()),
-        check_vma=False,
+        check_vma=False,  # same while_loop carry typing issue as above
     )(params, rows, target)
 
 

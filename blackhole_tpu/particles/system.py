@@ -146,8 +146,11 @@ def add_particles_batch(system: ParticleSystem, positions, velocities,
         active=scatter(system.active, jnp.ones((n,), bool)),
         age=scatter(system.age, jnp.zeros((n,))),
         temperature=scatter(system.temperature, temperatures),
-        count=jnp.minimum(start + n, cap),
-        next_id=system.next_id + n_added,
+        # Pin the int dtypes: under x64 the int-scalar arithmetic here
+        # otherwise drifts to int64, and the next add_particle scatter
+        # into the int32 pool warns (error in future jax).
+        count=jnp.minimum(start + n, cap).astype(jnp.int32),
+        next_id=(system.next_id + n_added).astype(jnp.int32),
     )
     return new, ids
 

@@ -105,6 +105,33 @@ def generate_rays_for_rows(camera: Camera, width: int, height: int, rows,
     return origins, directions
 
 
+def generate_rays_for_pixels(camera: Camera, width: int, height: int,
+                             pix_x, pix_y, offset_x=0.5, offset_y=0.5):
+    """Primary rays for an arbitrary pixel subset.
+
+    pix_x/pix_y: int arrays (N,); offsets scalar or (N,).  Returns
+    (origins, directions) of shape (N, 3).  Used by the adaptive sampler
+    to shoot extra rays only at high-contrast pixels."""
+    forward, right, up = camera_basis(camera)
+    aspect = width / height
+    fov_rad = camera.fov_deg * (PI / 180.0)
+    plane_h = 2.0 * jnp.tan(0.5 * fov_rad)
+    plane_w = plane_h * aspect
+
+    px = jnp.asarray(pix_x, jnp.float32)
+    py = jnp.asarray(pix_y, jnp.float32)
+    ndc_x = (2.0 * (px + offset_x) / width - 1.0) * plane_w
+    ndc_y = (1.0 - 2.0 * (py + offset_y) / height) * plane_h
+    d = (
+        forward[None, :]
+        + ndc_x[..., None] * right[None, :]
+        + ndc_y[..., None] * up[None, :]
+    )
+    directions = coords.normalize(d)
+    origins = jnp.broadcast_to(camera.position, directions.shape)
+    return origins, directions
+
+
 def generate_rays(camera: Camera, width: int, height: int,
                   offset_x=0.5, offset_y=0.5):
     """Primary rays for a width x height image.

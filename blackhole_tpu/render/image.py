@@ -36,7 +36,8 @@ def trace_rays_fast(origins, directions, scene: Scene, engine: str = "auto"):
             "pallas"
             if (
                 jax.default_backend() == "tpu"
-                and scene.config.integrator == Integrator.RK4
+                and scene.config.integrator
+                in (Integrator.RK4, Integrator.RKF45)
             )
             else "xla"
         )

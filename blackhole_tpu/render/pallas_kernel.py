@@ -16,13 +16,16 @@ tile has retired, so tiles inside the shadow or pointing at empty sky
 stop hundreds of steps before worst-case tiles (the lockstep analog of
 the reference CPU path's per-ray early exit).
 
-Forward-only: reverse-mode uses the checkpointed scan driver in
-blackhole_tpu.grad.diff_trace (gradients never flow through this
-kernel; trace_rays_fast falls back to it only for primal evaluation).
+Differentiation: forward mode (jax.jvp / jax.jacfwd) flows through the
+tangent-augmented kernel (_make_kernel_jvp) — the fast path for
+few-parameter gradients (mass, spin, camera pose), see
+blackhole_tpu.grad.fast_grad.  Reverse mode is NOT defined on the
+kernel; use the checkpointed scan driver in blackhole_tpu.grad.
 """
 
 from __future__ import annotations
 
+import functools
 from functools import partial
 
 import jax
@@ -33,6 +36,7 @@ from jax.experimental.pallas import tpu as pltpu
 from blackhole_tpu.constants import EPSILON, HORIZON_CAPTURE_FACTOR
 from blackhole_tpu.geom import coords
 from blackhole_tpu.geom.types import Hit, Integrator, RayResult, Scene
+from blackhole_tpu.integrate import steppers as sp
 from blackhole_tpu.render import geodesic, trace
 
 TILE_ROWS = 8
@@ -44,14 +48,14 @@ TILE = TILE_ROWS * TILE_LANES
 # bug when *traced* SMEM scalars mix into vector arithmetic inside the
 # while_loop (constant-folded scalars compile fine).  Plane layout:
 # [M, a, time_step, max_ray_distance, r_capture,
-#  disk_inner, disk_outer, sin_incl, cos_incl]
-_N_SCAL_PLANES = 9
+#  disk_inner, disk_outer, sin_incl, cos_incl, tol]
+_N_SCAL_PLANES = 10
 
 
 def _rhs(r, th, pr, pth, L, M, a):
     """Geodesic RHS on (8,128) tiles — same closed form as
     blackhole_tpu.render.geodesic.rhs with E = 1 (affine normalization).
-    Returns (dr, dth, dph, dpr, dpth)."""
+    Returns (dr, dth, dph, dpr, dpth, dt)."""
     E = 1.0
     ct = jnp.cos(th)
     st = jnp.sin(th)
@@ -72,6 +76,7 @@ def _rhs(r, th, pr, pth, L, M, a):
     dr = g_rr_up * pr
     dth = g_thth_up * pth
     dph = -g_tphi_up * E + g_phph_up * L
+    dtt = -g_tt_up * E + g_tphi_up * L
 
     # dH/dr (matches geodesic._dH_dr_batched)
     dsigma = 2.0 * r
@@ -114,7 +119,7 @@ def _rhs(r, th, pr, pth, L, M, a):
         + dg_rr_th * pr * pr
         + dg_thth_th * pth * pth
     )
-    return dr, dth, dph, -dH_dr, -dH_dth
+    return dr, dth, dph, -dH_dr, -dH_dth, dtt
 
 
 def _bl_to_cart(r, th, ph, a):
@@ -123,60 +128,140 @@ def _bl_to_cart(r, th, ph, a):
     return w * st * jnp.cos(ph), w * st * jnp.sin(ph), r * ct
 
 
-def _step_update(state, scal, disk_enabled: bool):
+def _step_update(state, scal, disk_enabled: bool, adaptive: bool = False):
     """One masked integration step as a pure function of
     (state, scal) tuples of (8, 128) vectors — shared by the plain
     forward kernel and the tangent-augmented (JVP) kernel, where it is
     differentiated in forward mode *inside* the Pallas kernel.
 
     state: (r, th, ph, pr, pth, cx, cy, cz, dist, steps, result,
-            hx, hy, hz, lx, ly, lz)
+            hx, hy, hz, lx, ly, lz, t, h)
     scal:  (M, a, dt, max_dist, r_capture, disk_inner, disk_outer,
-            sin_incl, cos_incl, L)   [L rides with scal: constant per ray]
+            sin_incl, cos_incl, tol, L)  [L rides with scal: per-ray const]
+
+    adaptive=False: fixed-step RK4 with the radius schedule
+    (trace.step_size_schedule); the carried h plane rides unchanged.
+    adaptive=True: embedded Fehlberg 4(5) with per-ray step size and
+    accept/reject in the carry — same semantics as the XLA path
+    (steppers.rkf45_step + trace.trace_step adaptive branch, mirroring
+    math_util.c:212-457; the reference's GPU kernel also adapts in-loop,
+    ray_tracer.comp:522-541).
     """
     (r, th, ph, pr, pth, cx, cy, cz, dist, steps, result,
-     hx, hy, hz, lx, ly, lz) = state
+     hx, hy, hz, lx, ly, lz, tt, h_carry) = state
     (M, a, dt, max_dist, r_capture, disk_inner, disk_outer,
-     sin_incl, cos_incl, L) = scal
+     sin_incl, cos_incl, tol, L) = scal
     active = result == float(trace.ACTIVE)
     rs = 2.0 * M
 
-    # Step size schedule (trace.step_size_schedule).
-    h = dt * jnp.clip(r / (7.5 * rs), 0.05, 20.0)
-    h = jnp.minimum(h, 0.5 * (r - r_capture) + 1e-3 * dt)
-    h = jnp.maximum(h, 1e-4 * dt)
+    if adaptive:
+        h = h_carry
+    else:
+        # Step size schedule (trace.step_size_schedule).
+        h = dt * jnp.clip(r / (7.5 * rs), 0.05, 20.0)
+        h = jnp.minimum(h, 0.5 * (r - r_capture) + 1e-3 * dt)
+        h = jnp.maximum(h, 1e-4 * dt)
 
-    # RK4 over (r, th, ph, pr, pth).
-    k1 = _rhs(r, th, pr, pth, L, M, a)
-    k2 = _rhs(
-        r + 0.5 * h * k1[0], th + 0.5 * h * k1[1],
-        pr + 0.5 * h * k1[3], pth + 0.5 * h * k1[4], L, M, a,
-    )
-    k3 = _rhs(
-        r + 0.5 * h * k2[0], th + 0.5 * h * k2[1],
-        pr + 0.5 * h * k2[3], pth + 0.5 * h * k2[4], L, M, a,
-    )
-    k4 = _rhs(
-        r + h * k3[0], th + h * k3[1],
-        pr + h * k3[3], pth + h * k3[4], L, M, a,
-    )
-    sixth = h / 6.0
-    r_t = r + sixth * (k1[0] + 2.0 * (k2[0] + k3[0]) + k4[0])
-    th_t = th + sixth * (k1[1] + 2.0 * (k2[1] + k3[1]) + k4[1])
-    ph_t = ph + sixth * (k1[2] + 2.0 * (k2[2] + k3[2]) + k4[2])
-    pr_t = pr + sixth * (k1[3] + 2.0 * (k2[3] + k3[3]) + k4[3])
-    pth_t = pth + sixth * (k1[4] + 2.0 * (k2[4] + k3[4]) + k4[4])
+    if not adaptive:
+        # RK4 over (r, th, ph, pr, pth, t).
+        k1 = _rhs(r, th, pr, pth, L, M, a)
+        k2 = _rhs(
+            r + 0.5 * h * k1[0], th + 0.5 * h * k1[1],
+            pr + 0.5 * h * k1[3], pth + 0.5 * h * k1[4], L, M, a,
+        )
+        k3 = _rhs(
+            r + 0.5 * h * k2[0], th + 0.5 * h * k2[1],
+            pr + 0.5 * h * k2[3], pth + 0.5 * h * k2[4], L, M, a,
+        )
+        k4 = _rhs(
+            r + h * k3[0], th + h * k3[1],
+            pr + h * k3[3], pth + h * k3[4], L, M, a,
+        )
+        sixth = h / 6.0
+        r_t = r + sixth * (k1[0] + 2.0 * (k2[0] + k3[0]) + k4[0])
+        th_t = th + sixth * (k1[1] + 2.0 * (k2[1] + k3[1]) + k4[1])
+        ph_t = ph + sixth * (k1[2] + 2.0 * (k2[2] + k3[2]) + k4[2])
+        pr_t = pr + sixth * (k1[3] + 2.0 * (k2[3] + k3[3]) + k4[3])
+        pth_t = pth + sixth * (k1[4] + 2.0 * (k2[4] + k3[4]) + k4[4])
+        t_t = tt + sixth * (k1[5] + 2.0 * (k2[5] + k3[5]) + k4[5])
+        accepted = active | ~active  # all-True, same shape as active
+        h_next = h_carry
+    else:
+        # Embedded Fehlberg 4(5) pair (steppers tableau constants).
+        def comb(*cs):
+            """Per-component linear combination of stages: cs pairs
+            (coeff, k)."""
+            out = []
+            for comp in range(6):
+                acc = None
+                for coeff, k in cs:
+                    term = coeff * k[comp]
+                    acc = term if acc is None else acc + term
+                out.append(acc)
+            return out
+
+        k1 = _rhs(r, th, pr, pth, L, M, a)
+        s2 = comb((sp._B21, k1))
+        k2 = _rhs(r + h * s2[0], th + h * s2[1],
+                  pr + h * s2[3], pth + h * s2[4], L, M, a)
+        s3 = comb((sp._B31, k1), (sp._B32, k2))
+        k3 = _rhs(r + h * s3[0], th + h * s3[1],
+                  pr + h * s3[3], pth + h * s3[4], L, M, a)
+        s4 = comb((sp._B41, k1), (sp._B42, k2), (sp._B43, k3))
+        k4 = _rhs(r + h * s4[0], th + h * s4[1],
+                  pr + h * s4[3], pth + h * s4[4], L, M, a)
+        s5 = comb((sp._B51, k1), (sp._B52, k2), (sp._B53, k3),
+                  (sp._B54, k4))
+        k5 = _rhs(r + h * s5[0], th + h * s5[1],
+                  pr + h * s5[3], pth + h * s5[4], L, M, a)
+        s6 = comb((sp._B61, k1), (sp._B62, k2), (sp._B63, k3),
+                  (sp._B64, k4), (sp._B65, k5))
+        k6 = _rhs(r + h * s6[0], th + h * s6[1],
+                  pr + h * s6[3], pth + h * s6[4], L, M, a)
+
+        y4 = comb((sp._C[0], k1), (sp._C[2], k3), (sp._C[3], k4),
+                  (sp._C[4], k5))
+        y5 = comb((sp._D[0], k1), (sp._D[2], k3), (sp._D[3], k4),
+                  (sp._D[4], k5), (sp._D[5], k6))
+        cur = (r, th, ph, pr, pth, tt)
+        y4 = [c + h * v for c, v in zip(cur, y4)]
+        y5 = [c + h * v for c, v in zip(cur, y5)]
+        # Max per-component relative error with scale = max(|y|, |y5|)
+        # floored at 1e-12 — identical to steppers.rkf45_step (which
+        # mirrors math_util.c:376-391); |y| is the pre-step value.
+        err = None
+        for c0, c4, c5 in zip(cur, y4, y5):
+            scale = jnp.maximum(jnp.maximum(jnp.abs(c0), jnp.abs(c5)),
+                                1e-12)
+            e = jnp.abs(c5 - c4) / scale
+            err = e if err is None else jnp.maximum(err, e)
+
+        r_t, th_t, ph_t, pr_t, pth_t, t_t = y5
+        accepted = err <= tol
+        # Step-size controller (steppers.rkf45_next_h + trace clamps).
+        ratio = jnp.maximum(err / tol, 1e-30)
+        log_ratio = jnp.log(ratio)
+        scale_ok = sp.SAFETY * jnp.exp(-0.2 * log_ratio)
+        scale_bad = sp.SAFETY * jnp.exp(-0.25 * log_ratio)
+        sc = jnp.where(accepted, scale_ok, scale_bad)
+        sc = jnp.where(err / tol <= 0.0, sp.MAX_SCALE, sc)
+        h_next = h * jnp.clip(sc, sp.MIN_SCALE, sp.MAX_SCALE)
+        h_next = jnp.clip(h_next, 1e-4 * dt, 50.0 * dt)
+        h_next = jnp.minimum(h_next, 0.5 * (r - r_capture) + 1e-3 * dt)
+        h_next = jnp.maximum(h_next, 1e-5 * dt)
 
     finite = (
         jnp.isfinite(r_t) & jnp.isfinite(th_t) & jnp.isfinite(ph_t)
         & jnp.isfinite(pr_t) & jnp.isfinite(pth_t)
     )
-    advance = active & finite
+    advance = active & accepted & finite
     r_n = jnp.where(advance, r_t, r)
     th_n = jnp.where(advance, th_t, th)
     ph_n = jnp.where(advance, ph_t, ph)
     pr_n = jnp.where(advance, pr_t, pr)
     pth_n = jnp.where(advance, pth_t, pth)
+    t_n = jnp.where(advance, t_t, tt)
+    h_new = jnp.where(active, h_next, h_carry)
 
     cx_n, cy_n, cz_n = _bl_to_cart(r_n, th_n, ph_n, a)
     dxc = cx_n - cx
@@ -244,11 +329,15 @@ def _step_update(state, scal, disk_enabled: bool):
     # "Invalid relayout" on bool->f32 vector casts here.
     steps_n = jnp.where(active, steps + 1.0, steps)
     return (r_n, th_n, ph_n, pr_n, pth_n, cx_k, cy_k, cz_k,
-            dist_n, steps_n, result, hx, hy, hz, lx_n, ly_n, lz_n)
+            dist_n, steps_n, result, hx, hy, hz, lx_n, ly_n, lz_n,
+            t_n, h_new)
 
 
-def _load_init(inp_ref, base):
-    """State tuple from the input planes of one tile."""
+def _load_init(inp_ref, base, h0):
+    """State tuple from the input planes of one tile.
+
+    h0: initial step-size plane (time_step for the adaptive mode; the
+    RK4 mode carries it untouched)."""
     r0 = inp_ref[base, 0]
     th0 = inp_ref[base, 1]
     ph0 = inp_ref[base, 2]
@@ -269,13 +358,14 @@ def _load_init(inp_ref, base):
     zeros = r0 * 0.0
     result0 = zeros + float(trace.ACTIVE)
     return (r0, th0, ph0, pr0, pth0, cx0, cy0, cz0, zeros, zeros,
-            result0, cx0, cy0, cz0, ldx0, ldy0, ldz0)
+            result0, cx0, cy0, cz0, ldx0, ldy0, ldz0, zeros,
+            zeros + h0)
 
 
 def _store_out(out_ref, offset, state):
     """Write the 12 output planes starting at component `offset`."""
     (r_f, _, _, _, _, cx_f, cy_f, cz_f, dist_f, steps_f,
-     result_f, hx_f, hy_f, hz_f, lx_f, ly_f, lz_f) = state
+     result_f, hx_f, hy_f, hz_f, lx_f, ly_f, lz_f, _t, _h) = state
     out_ref[0, offset + 0] = result_f
     out_ref[0, offset + 1] = dist_f
     out_ref[0, offset + 2] = steps_f
@@ -290,15 +380,15 @@ def _store_out(out_ref, offset, state):
     out_ref[0, offset + 11] = cz_f
 
 
-def _make_kernel(disk_enabled: bool, max_steps: int):
-    """Build the kernel body; disk handling and the step budget are
-    compiled in (max_steps is static in SimConfig)."""
+def _make_kernel(disk_enabled: bool, max_steps: int, adaptive: bool):
+    """Build the kernel body; disk handling, the step budget, and the
+    integrator mode are compiled in (static in SimConfig)."""
 
     def kernel(scal_ref, inp_ref, out_ref):
         scal = tuple(scal_ref[k] for k in range(_N_SCAL_PLANES)) + (
             inp_ref[0, 5],  # L (per-ray constant)
         )
-        state0 = _load_init(inp_ref, 0)
+        state0 = _load_init(inp_ref, 0, scal[2])  # h0 = time_step
 
         def cond(carry):
             # Mosaic cannot lower a vector->scalar reduction inside the
@@ -309,7 +399,7 @@ def _make_kernel(disk_enabled: bool, max_steps: int):
 
         def body(carry):
             i, _n, *state = carry
-            new = _step_update(tuple(state), scal, disk_enabled)
+            new = _step_update(tuple(state), scal, disk_enabled, adaptive)
             n_active = jnp.sum(
                 (new[10] == float(trace.ACTIVE)).astype(jnp.int32)
             ).astype(jnp.int32)
@@ -322,7 +412,7 @@ def _make_kernel(disk_enabled: bool, max_steps: int):
     return kernel
 
 
-def _make_kernel_jvp(disk_enabled: bool, max_steps: int):
+def _make_kernel_jvp(disk_enabled: bool, max_steps: int, adaptive: bool):
     """Tangent-augmented kernel: integrates (state, dstate) together,
     with the tangent recurrence generated by jax.jvp of _step_update
     *inside* the kernel.  One tangent direction per call (the caller
@@ -341,8 +431,8 @@ def _make_kernel_jvp(disk_enabled: bool, max_steps: int):
         dscal = tuple(dscal_ref[k] for k in range(_N_SCAL_PLANES)) + (
             dinp_ref[0, 5],
         )
-        state0 = _load_init(inp_ref, 0)
-        dstate0 = _load_init(dinp_ref, 0)
+        state0 = _load_init(inp_ref, 0, scal[2])
+        dstate0 = _load_init(dinp_ref, 0, dscal[2])
         # Tangents of (dist, steps, result) start at exact zero; the
         # _load_init trick put result0 = ACTIVE into slot 10 of the
         # tangent tuple, so rebuild those three slots from dinp zeros.
@@ -352,7 +442,7 @@ def _make_kernel_jvp(disk_enabled: bool, max_steps: int):
         n_state = len(state0)
 
         def f(state, scal_in):
-            return _step_update(state, scal_in, disk_enabled)
+            return _step_update(state, scal_in, disk_enabled, adaptive)
 
         def cond(carry):
             (i, n_active, *_rest) = carry
@@ -376,22 +466,23 @@ def _make_kernel_jvp(disk_enabled: bool, max_steps: int):
     return kernel
 
 
-import functools
-
-
-@functools.lru_cache(maxsize=64)
-def _get_core(grid: int, disk_on: bool, max_steps: int, interpret: bool):
+@functools.lru_cache(maxsize=None)
+def _get_core(disk_on: bool, max_steps: int, adaptive: bool,
+              interpret: bool):
     """Cached, config-specialized pallas core with a custom JVP.
 
-    core(scal_planes (9,8,128), inp_planes (grid,12,8,128)) ->
-    out (grid,12,8,128).  Forward-mode differentiation runs the
-    tangent-augmented kernel (one extra call per tangent direction);
-    reverse mode is NOT defined here — use blackhole_tpu.grad for that.
+    core(scal_planes (10,8,128), inp_planes (grid,12,8,128)) ->
+    out (grid,12,8,128); the grid size is read off inp's shape at trace
+    time, so one cache entry serves every render resolution.
+    Forward-mode differentiation runs the tangent-augmented kernel (one
+    extra call per tangent direction); reverse mode is NOT defined here
+    — use blackhole_tpu.grad for that.
     """
 
     def _call_plain(scal, inp):
+        grid = inp.shape[0]
         return pl.pallas_call(
-            _make_kernel(disk_on, max_steps),
+            _make_kernel(disk_on, max_steps, adaptive),
             grid=(grid,),
             in_specs=[
                 pl.BlockSpec(
@@ -417,8 +508,9 @@ def _get_core(grid: int, disk_on: bool, max_steps: int, interpret: bool):
         )(scal, inp)
 
     def _call_jvp(scal, dscal, inp, dinp):
+        grid = inp.shape[0]
         out = pl.pallas_call(
-            _make_kernel_jvp(disk_on, max_steps),
+            _make_kernel_jvp(disk_on, max_steps, adaptive),
             grid=(grid,),
             in_specs=[
                 pl.BlockSpec(
@@ -461,13 +553,7 @@ def _get_core(grid: int, disk_on: bool, max_steps: int, interpret: bool):
     @core.defjvp
     def core_jvp(primals, tangents):
         scal, inp = primals
-        dscal, dinp = tangents
-        dscal = jnp.zeros_like(scal) if isinstance(
-            dscal, jax.custom_derivatives.SymbolicZero
-        ) else dscal
-        dinp = jnp.zeros_like(inp) if isinstance(
-            dinp, jax.custom_derivatives.SymbolicZero
-        ) else dinp
+        dscal, dinp = tangents  # materialized by defjvp (no symbolic zeros)
         return _call_jvp(scal, dscal, inp, dinp)
 
     return core
@@ -476,16 +562,20 @@ def _get_core(grid: int, disk_on: bool, max_steps: int, interpret: bool):
 @partial(jax.jit, static_argnames=("interpret",))
 def trace_rays_pallas(origins, directions, scene: Scene,
                       interpret: bool = False) -> Hit:
-    """Pallas-accelerated equivalent of trace.trace_rays (RK4 path).
+    """Pallas-accelerated equivalent of trace.trace_rays (RK4 + RKF45).
 
-    origins/directions: (..., 3) float32.  Integrator must be RK4; other
-    integrators use the XLA while_loop path.  Forward-mode
-    differentiable end-to-end (jax.jvp / jax.jacfwd) via the
-    tangent-augmented kernel; for reverse mode use
+    origins/directions: (..., 3) float32.  RK4 runs the fixed-step
+    schedule; RKF45 runs the embedded adaptive pair with per-ray step
+    state in the loop carry (leapfrog/Yoshida use the XLA while_loop
+    path).  Forward-mode differentiable end-to-end (jax.jvp /
+    jax.jacfwd) via the tangent-augmented kernel; for reverse mode use
     blackhole_tpu.grad.diff_trace.
     """
-    if scene.config.integrator != Integrator.RK4:
-        raise ValueError("pallas kernel supports the RK4 integrator only")
+    if scene.config.integrator not in (Integrator.RK4, Integrator.RKF45):
+        raise ValueError(
+            "pallas kernel supports the RK4 and RKF45 integrators only"
+        )
+    adaptive = scene.config.integrator == Integrator.RKF45
     batch_shape = origins.shape[:-1]
     o = jnp.asarray(origins, jnp.float32).reshape(-1, 3)
     d = jnp.asarray(directions, jnp.float32).reshape(-1, 3)
@@ -525,14 +615,15 @@ def trace_rays_pallas(origins, directions, scene: Scene,
             r_capture,
             disk.inner_radius, disk.outer_radius,
             jnp.sin(disk.inclination), jnp.cos(disk.inclination),
+            jnp.maximum(cfg.tolerance, 1e-12),
         ]
     ).astype(jnp.float32)
-    # Broadcast to (9, 8, 128) VMEM planes (see _N_SCAL_PLANES note).
+    # Broadcast to (10, 8, 128) VMEM planes (see _N_SCAL_PLANES note).
     scal = jnp.broadcast_to(
         scal[:, None, None], (_N_SCAL_PLANES, TILE_ROWS, TILE_LANES)
     )
 
-    core = _get_core(grid, disk_on, int(cfg.max_steps), interpret)
+    core = _get_core(disk_on, int(cfg.max_steps), adaptive, interpret)
     out = core(scal, inp)
 
     flat = out.transpose(1, 0, 2, 3).reshape(12, n_total)[:, :n]

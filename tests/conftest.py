@@ -12,8 +12,11 @@ os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+if os.environ.get("BH_TPU_TESTS") != "1":
+    # Hermetic CPU suite.  BH_TPU_TESTS=1 leaves the session backend
+    # (a real TPU) in place for tests/test_tpu_compiled.py.
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
 
 import pytest  # noqa: E402
 

@@ -107,6 +107,62 @@ def test_inverse_rendering_recovers_mass():
     assert float(fitted_scene.blackhole.spin) == pytest.approx(0.5)
 
 
+def test_inverse_rendering_recovers_spin():
+    """Spin recovery (BASELINE config 5 names mass, spin, disk radii,
+    camera pose — each group gets its own convergence test)."""
+    scene, camera = small_scene(spin=0.9, max_steps=150), small_camera()
+    target = diff_trace.render_image_diff(scene, camera, 16, 16)
+
+    bad = dataclasses.replace(
+        scene, blackhole=BlackHole.create(1.0, 0.6, dtype=jnp.float64)
+    )
+    fitted_scene, _, losses = inverse.fit(
+        target, bad, camera, 16, 16, steps=40, learning_rate=8e-2,
+        optimize=("spin_raw",),
+    )
+    assert losses[-1] < 0.5 * losses[0]
+    assert abs(float(fitted_scene.blackhole.spin) - 0.9) < abs(0.6 - 0.9)
+    assert float(fitted_scene.blackhole.mass) == pytest.approx(1.0)
+
+
+def test_inverse_rendering_recovers_disk_radii():
+    scene, camera = small_scene(max_steps=150), small_camera()
+    target = diff_trace.render_image_diff(scene, camera, 16, 16)
+
+    bad = dataclasses.replace(
+        scene, disk=Disk.create(7.5, 17.0, dtype=jnp.float64)
+    )
+    fitted_scene, _, losses = inverse.fit(
+        target, bad, camera, 16, 16, steps=40, learning_rate=5e-2,
+        optimize=("log_disk_inner", "log_disk_width"),
+    )
+    assert losses[-1] < 0.5 * losses[0]
+    assert abs(float(fitted_scene.disk.inner_radius) - 6.0) < abs(7.5 - 6.0)
+    assert abs(float(fitted_scene.disk.outer_radius) - 20.0) < abs(
+        17.0 - 20.0
+    )
+
+
+def test_inverse_rendering_recovers_camera_pose():
+    """Camera-position recovery: gradients flow through ray generation
+    (generate_rays is part of the differentiable graph)."""
+    scene, camera = small_scene(max_steps=150), small_camera()
+    target = diff_trace.render_image_diff(scene, camera, 16, 16)
+
+    bad_cam = dataclasses.replace(
+        camera,
+        position=jnp.asarray([0.5, -29.0, 8.7], jnp.float64),
+    )
+    _, fitted_cam, losses = inverse.fit(
+        target, scene, bad_cam, 16, 16, steps=40, learning_rate=3e-2,
+        optimize=("cam_position",),
+    )
+    err0 = float(jnp.linalg.norm(bad_cam.position - camera.position))
+    err1 = float(jnp.linalg.norm(fitted_cam.position - camera.position))
+    assert losses[-1] < 0.5 * losses[0]
+    assert err1 < err0
+
+
 def test_pack_unpack_roundtrip():
     scene, camera = small_scene(spin=0.7), small_camera()
     params = inverse.pack_params(scene, camera)

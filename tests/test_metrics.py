@@ -137,3 +137,37 @@ class TestDerived:
             jnp.float64(r0)
         )
         np.testing.assert_allclose(dV, 0.0, atol=1e-10)
+
+    def test_effective_potential_kerr_values(self):
+        """Kerr branch vs the reference's closed form
+        (spacetime.c:256-277): V = (E^2-1) + (2M/r)(l^2/r^2 - 2Mal/r^3),
+        r clamped at r+ (not rs)."""
+        M, a_over_M, l = 1.0, 0.9, 4.0
+        a = a_over_M * M
+        for r in (3.0, 6.0, 12.0, 30.0):
+            expect = (2.0 * M / r) * (
+                l * l / r**2 - 2.0 * M * a * l / r**3
+            )
+            got = float(derived.effective_potential(
+                jnp.float64(r), l, M, a_over_M
+            ))
+            np.testing.assert_allclose(got, expect, rtol=1e-12)
+        # Inside the horizon the clamp pins to r+ (= M + sqrt(M^2-a^2)).
+        r_plus = M + np.sqrt(M * M - a * a)
+        inside = float(derived.effective_potential(
+            jnp.float64(0.5), l, M, a_over_M
+        ))
+        at_rp = float(derived.effective_potential(
+            jnp.float64(r_plus), l, M, a_over_M
+        ))
+        np.testing.assert_allclose(inside, at_rp, rtol=1e-9)
+
+    def test_effective_potential_spin_gradient_finite_at_zero(self):
+        """d(V)/d(spin) at a=0 flows through both where-branches and
+        must stay finite (VERDICT weak #8)."""
+        import jax
+
+        g = jax.grad(
+            lambda s: derived.effective_potential(10.0, 4.0, 1.0, s)
+        )(jnp.float64(0.0))
+        assert np.isfinite(float(g))

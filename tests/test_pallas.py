@@ -14,12 +14,13 @@ from blackhole_tpu.render import camera as cam
 from blackhole_tpu.render import pallas_kernel, trace
 
 
-def make_case(spin, disk_enabled, max_steps=250):
+def make_case(spin, disk_enabled, max_steps=250, integrator="rk4"):
     scene = Scene(
         blackhole=BlackHole.create(1.0, spin),
         disk=Disk.create(6.0, 20.0),
         config=SimConfig.create(
-            time_step=0.1, max_ray_distance=80.0, max_steps=max_steps
+            time_step=0.1, max_ray_distance=80.0, max_steps=max_steps,
+            integrator=integrator,
         ),
         disk_enabled=disk_enabled,
     )
@@ -111,11 +112,74 @@ def test_pallas_forward_mode_gradients():
     np.testing.assert_allclose(float(da), float(ga), rtol=1e-3, atol=1e-8)
 
 
-def test_pallas_rejects_non_rk4():
+@pytest.mark.parametrize("spin,disk", [(0.9, True), (0.0, False)])
+def test_pallas_rkf45_matches_while_loop(spin, disk):
+    """Adaptive kernel vs the XLA adaptive path.  Result codes must be
+    identical; colors agree in distribution only — RKF45's accept/reject
+    cascade amplifies ulp-level arithmetic-order differences into
+    different step *sequences* (steps counts differ by a few), so
+    bitwise color parity is impossible for chaotic geodesics."""
+    scene, o, d = make_case(spin, disk, max_steps=192, integrator="rkf45")
+    o, d = o[:512], d[:512]
+    hit_ref = trace.trace_rays(o, d, scene)
+    hit_pal = pallas_kernel.trace_rays_pallas(o, d, scene, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(hit_pal.result), np.asarray(hit_ref.result)
+    )
+    dc = np.max(
+        np.abs(np.asarray(hit_pal.color) - np.asarray(hit_ref.color)),
+        axis=-1,
+    )
+    assert float(dc.mean()) < 2e-3
+    assert float(np.percentile(dc, 99)) < 3e-2
+
+
+def test_pallas_fast_grad_value_and_grad():
+    """grad.fast_grad drives one jvp per scalar through the kernel and
+    must reproduce reverse-mode gradients for a params pytree."""
+    import dataclasses
+
+    import jax
+
+    from blackhole_tpu.grad import diff_trace, fast_grad
+
+    scene, o, d = make_case(0.9, True, max_steps=150)
+    o, d = o[:256], d[:256]
+
+    def build(p):
+        return dataclasses.replace(
+            scene,
+            blackhole=dataclasses.replace(
+                scene.blackhole, mass=p["mass"], spin=p["spin"]
+            ),
+        )
+
+    def loss_fwd(p):
+        hit = pallas_kernel.trace_rays_pallas(o, d, build(p),
+                                              interpret=True)
+        return jnp.sum(hit.color) / hit.color.size
+
+    def loss_rev(p):
+        hit = diff_trace.trace_rays_diff(o, d, build(p))
+        return jnp.sum(hit.color) / hit.color.size
+
+    p0 = {"mass": jnp.float32(1.0), "spin": jnp.float32(0.9)}
+    v1, g1 = fast_grad.value_and_grad_fwd(loss_fwd)(p0)
+    v2, g2 = jax.value_and_grad(loss_rev)(p0)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(g1["mass"]), float(g2["mass"]), rtol=1e-3, atol=1e-8
+    )
+    np.testing.assert_allclose(
+        float(g1["spin"]), float(g2["spin"]), rtol=1e-3, atol=1e-8
+    )
+
+
+def test_pallas_rejects_unsupported_integrator():
     scene, o, d = make_case(0.9, True)
     import dataclasses
 
-    cfg = SimConfig.create(integrator="rkf45")
+    cfg = SimConfig.create(integrator="leapfrog")
     scene2 = dataclasses.replace(scene, config=cfg)
     with pytest.raises(ValueError):
         pallas_kernel.trace_rays_pallas(o, d, scene2, interpret=True)

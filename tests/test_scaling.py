@@ -1,0 +1,33 @@
+"""Scaling-efficiency harness assertions (BASELINE.md scaling row).
+
+Runs bench_scaling.measure on the 8-device virtual CPU mesh that
+conftest.py provides.  On this oversubscribed host (8 virtual devices
+sharing 2 cores) wall-clock parallel speedup is physically capped, so
+the asserted metric is rays per *CPU-second*: the sharded program must
+not do more than ~15% extra total work per ray at mesh 2 vs mesh 1 —
+padding, collectives, and per-partition fixed costs are the only things
+that can differ, and they are exactly what one can validate without a
+pod (see bench_scaling.py's column documentation).
+"""
+
+import os
+import sys
+
+import jax
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+
+import bench_scaling  # noqa: E402
+
+
+@pytest.mark.skipif(
+    len(jax.devices()) < 2, reason="needs >= 2 (virtual) devices"
+)
+def test_two_shard_efficiency_at_least_85pct():
+    out = bench_scaling.measure(
+        width=128, height=128, steps=96, sizes=[1, 2], repeats=2,
+        fwdbwd=False,
+    )
+    recs = {r["mesh"]: r for r in out["records"]}
+    assert recs[2]["eff_fwd_cpu"] >= 0.85, recs

@@ -1,0 +1,169 @@
+"""Compiled-TPU Pallas parity checks — run in the bench environment.
+
+The interpret-mode tests (tests/test_pallas.py) validate the kernel's
+*arithmetic* on CPU; this module validates the *compiled* Mosaic
+lowering on a real TPU, where layout/relayout bugs live (see the
+workaround notes in render/pallas_kernel.py).  It asserts, at 64x64 for
+both spins and disk on/off:
+
+* plain kernel (RK4): result-code equality with trace.trace_rays and
+  color agreement to atol 2e-4,
+* adaptive kernel (RKF45): result-code agreement on >= 99.8% of rays
+  and color agreement in distribution over the agreeing rays
+  (mean |dcolor| < 2e-3, p99 < 3e-2).  Bitwise parity is impossible
+  for an adaptive method: the accept/reject cascade amplifies
+  ulp-level differences into different step sequences, and compiled
+  TPU transcendentals round differently than the CPU path, so a few
+  near-critical rays legitimately flip between capture/disk/escape
+  (measured: 3 of 4096 at a=0.9 with disk),
+* tangent-augmented kernel: jax.jvp d(loss)/d(mass) and d(loss)/d(spin)
+  match the reverse-mode checkpointed scan driver to rtol 1e-3.
+
+bench.py calls run_parity_checks() and embeds the outcome in its JSON
+line, so every recorded benchmark doubles as a compiled-parity record
+(the role ray_tracer.comp's conserved-quantity monitoring plays in the
+reference, comp:522-528).  tests/test_tpu_compiled.py wraps the same
+checks as @pytest.mark.tpu tests.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+def _case(spin, disk_enabled, integrator, max_steps=250):
+    import jax.numpy as jnp
+
+    from blackhole_tpu.geom.types import (
+        BlackHole, Camera, Disk, Scene, SimConfig,
+    )
+    from blackhole_tpu.render import camera as cam
+
+    scene = Scene(
+        blackhole=BlackHole.create(1.0, spin),
+        disk=Disk.create(6.0, 20.0),
+        config=SimConfig.create(
+            time_step=0.1, max_ray_distance=80.0, max_steps=max_steps,
+            integrator=integrator,
+        ),
+        disk_enabled=disk_enabled,
+    )
+    camera = Camera.create(
+        position=(0.0, -30.0, 8.0),
+        direction=(0.0, 30.0, -8.0),
+        up=(0.0, 0.0, 1.0),
+        fov_deg=25.0,
+    )
+    o, d = cam.generate_rays(camera, 64, 64)
+    return scene, o.reshape(-1, 3), d.reshape(-1, 3)
+
+
+def check_forward(spin, disk, integrator):
+    """Compiled kernel vs XLA path; returns a stats dict, raises on fail."""
+    from blackhole_tpu.geom.types import Integrator
+    from blackhole_tpu.render import pallas_kernel, trace
+
+    scene, o, d = _case(spin, disk, integrator)
+    hit_ref = trace.trace_rays(o, d, scene)
+    hit_pal = pallas_kernel.trace_rays_pallas(o, d, scene)
+    res_ref = np.asarray(hit_ref.result)
+    res_pal = np.asarray(hit_pal.result)
+    agree = res_ref == res_pal
+    dc = np.max(
+        np.abs(np.asarray(hit_ref.color) - np.asarray(hit_pal.color)),
+        axis=-1,
+    )
+    dc_agree = dc[agree] if agree.any() else dc
+    stats = {
+        "integrator": integrator,
+        "spin": spin,
+        "disk": disk,
+        "n_rays": int(res_ref.size),
+        "result_mismatch": int(np.sum(~agree)),
+        "color_mean": float(dc_agree.mean()),
+        "color_p99": float(np.percentile(dc_agree, 99)),
+        "color_max": float(dc_agree.max()),
+    }
+    if integrator == Integrator.RKF45:
+        # Adaptive: a handful of near-critical rays may flip class
+        # (see module docstring); color stats over agreeing rays.
+        assert stats["result_mismatch"] <= max(1, res_ref.size // 500), \
+            stats
+        assert stats["color_mean"] < 2e-3, stats
+        assert stats["color_p99"] < 3e-2, stats
+    else:
+        assert stats["result_mismatch"] == 0, stats
+        assert stats["color_max"] < 2e-4, stats
+    return stats
+
+
+def check_jvp(spin=0.9, disk=True):
+    """Compiled tangent-augmented kernel vs reverse-mode scan driver."""
+    import jax
+    import jax.numpy as jnp
+
+    from blackhole_tpu.geom.types import Integrator
+    from blackhole_tpu.grad import diff_trace
+    from blackhole_tpu.render import pallas_kernel
+
+    scene, o, d = _case(spin, disk, Integrator.RK4, max_steps=200)
+    o, d = o[:1024], d[:1024]
+    m0, a0 = jnp.float32(1.0), jnp.float32(spin)
+
+    def loss(trace_fn, mass, spin_):
+        s = dataclasses.replace(
+            scene,
+            blackhole=dataclasses.replace(
+                scene.blackhole, mass=mass, spin=spin_
+            ),
+        )
+        hit = trace_fn(o, d, s)
+        return jnp.sum(hit.color) / hit.color.size
+
+    _, dm = jax.jvp(
+        lambda m: loss(pallas_kernel.trace_rays_pallas, m, a0),
+        (m0,), (jnp.float32(1.0),),
+    )
+    _, da = jax.jvp(
+        lambda a: loss(pallas_kernel.trace_rays_pallas, m0, a),
+        (a0,), (jnp.float32(1.0),),
+    )
+    _, (gm, ga) = jax.value_and_grad(
+        lambda m, a: loss(diff_trace.trace_rays_diff, m, a),
+        argnums=(0, 1),
+    )(m0, a0)
+    stats = {
+        "dmass_fwd": float(dm), "dmass_rev": float(gm),
+        "dspin_fwd": float(da), "dspin_rev": float(ga),
+    }
+    np.testing.assert_allclose(float(dm), float(gm), rtol=1e-3, atol=1e-7)
+    np.testing.assert_allclose(float(da), float(ga), rtol=1e-3, atol=1e-7)
+    return stats
+
+
+def run_parity_checks():
+    """All compiled parity checks; returns a summary dict ('ok' plus
+    per-check stats).  Raises AssertionError on any violation."""
+    from blackhole_tpu.geom.types import Integrator
+
+    out = {"forward": [], "jvp": None, "ok": False}
+    for integ in (Integrator.RK4, Integrator.RKF45):
+        for spin, disk in ((0.0, True), (0.9, True), (0.9, False)):
+            out["forward"].append(check_forward(spin, disk, integ))
+    out["jvp"] = check_jvp()
+    out["ok"] = True
+    return out
+
+
+if __name__ == "__main__":
+    import json
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    summary = run_parity_checks()
+    print(json.dumps(summary, indent=1))
+    print("TPU PARITY OK" if summary["ok"] else "TPU PARITY FAILED")
