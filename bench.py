@@ -111,6 +111,24 @@ def main():
 
     grad_mode = os.environ.get("BENCH_GRAD", "fwd")
     if grad_mode == "fwd":
+        # Both tangents ((d/dmass, d/dspin)) ride ONE multi-tangent
+        # kernel pass (grad.fast_grad.scene_value_and_grad).
+        from blackhole_tpu.grad import fast_grad
+
+        def loss_of_hit(hit):
+            return jnp.sum(hit.color) / (3.0 * n_rays)
+
+        _vg = jax.jit(
+            fast_grad.scene_value_and_grad(loss_of_hit, scene_fn)
+        )
+
+        def fwdbwd(mass, spin, o, d):
+            return _vg(
+                {"mass": mass, "spin": spin},
+                o.reshape(-1, 3), d.reshape(-1, 3),
+            )
+    elif grad_mode == "fwd1":
+        # One tangent-augmented kernel call per parameter.
         from blackhole_tpu.grad import fast_grad
 
         def loss(params, o_all, d_all):
@@ -120,10 +138,10 @@ def main():
             )
             return jnp.sum(hit.color) / (3.0 * n_rays)
 
-        _vg = jax.jit(fast_grad.value_and_grad_fwd(loss))
+        _vg1 = jax.jit(fast_grad.value_and_grad_fwd(loss))
 
         def fwdbwd(mass, spin, o, d):
-            return _vg({"mass": mass, "spin": spin}, o, d)
+            return _vg1({"mass": mass, "spin": spin}, o, d)
     else:
         from blackhole_tpu.grad import bucketed
 

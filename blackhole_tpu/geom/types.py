@@ -255,6 +255,11 @@ class Hit:
     temperature: Array  # disk temperature at hit (0 elsewhere)
     redshift: Array  # gravitational redshift factor at hit
     color: Array  # (..., 3) shaded RGB
+    # Optical depth through the disk at the crossing (0 elsewhere).
+    # The reference declares this field but never computes it
+    # (raytracer.h:91); here it is real: tau = kappa Sigma(r) / |cos|
+    # of the slant angle, Shakura-Sunyaev-flavored Sigma ~ r^{-3/5}.
+    optical_depth: Array
 
     def __getitem__(self, idx):
         import jax

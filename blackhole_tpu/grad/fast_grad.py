@@ -87,3 +87,84 @@ def value_and_grad_fwd(fun):
         return loss, rebuild(grads)
 
     return value_and_grad
+
+
+def render_value_and_grad(loss_of_hit, setup_fn, interpret: bool = False):
+    """Forward-mode value_and_grad when the RAYS also depend on params.
+
+    setup_fn(params) -> (scene, origins, dirs): ray generation is part
+    of the differentiated graph, so camera-pose/fov gradients flow —
+    all through ONE multi-tangent kernel pass.  Returns
+    g(params) -> (loss, grads).
+    """
+    from blackhole_tpu.render import pallas_kernel
+
+    def value_and_grad(params):
+        values, rebuild = _flatten_scalars(params)
+
+        def build(vals):
+            return setup_fn(rebuild(vals))
+
+        scene, origins, dirs = build(values)
+        tangents = []
+        for i in range(len(values)):
+            basis = [
+                jnp.ones_like(v) if j == i else jnp.zeros_like(v)
+                for j, v in enumerate(values)
+            ]
+            _, (dscene, do, dd) = jax.jvp(build, (values,), (basis,))
+            tangents.append((dscene, do, dd))
+
+        hit, dhits = pallas_kernel.trace_rays_pallas_fwdgrad(
+            origins, dirs, scene, tangents, interpret=interpret
+        )
+        loss = None
+        grads = []
+        for dhit in dhits:
+            loss, dl = jax.jvp(loss_of_hit, (hit,), (dhit,))
+            grads.append(dl)
+        return loss, rebuild(grads)
+
+    return value_and_grad
+
+
+def scene_value_and_grad(loss_of_hit, scene_fn, interpret: bool = False):
+    """Forward-mode value_and_grad through ONE multi-tangent kernel pass.
+
+    scene_fn(params) -> Scene; loss_of_hit(hit) -> scalar.  Returns
+    g(params, origins, dirs) -> (loss, grads).  Where value_and_grad_fwd
+    runs one tangent-augmented kernel per parameter (cost n*(P+T)),
+    this propagates all n tangents together inside
+    pallas_kernel.trace_rays_pallas_fwdgrad (cost P + n*T) — the fast
+    path for the bench's (mass, spin) gradient and inverse-rendering
+    workloads.
+    """
+    from blackhole_tpu.render import pallas_kernel
+
+    def value_and_grad(params, origins, dirs):
+        values, rebuild = _flatten_scalars(params)
+
+        def build(vals):
+            return scene_fn(rebuild(vals))
+
+        scene = build(values)
+        tangents = []
+        for i in range(len(values)):
+            basis = [
+                jnp.ones_like(v) if j == i else jnp.zeros_like(v)
+                for j, v in enumerate(values)
+            ]
+            _, dscene = jax.jvp(build, (values,), (basis,))
+            tangents.append(dscene)
+
+        hit, dhits = pallas_kernel.trace_rays_pallas_fwdgrad(
+            origins, dirs, scene, tangents, interpret=interpret
+        )
+        loss = None
+        grads = []
+        for dhit in dhits:
+            loss, dl = jax.jvp(loss_of_hit, (hit,), (dhit,))
+            grads.append(dl)
+        return loss, rebuild(grads)
+
+    return value_and_grad

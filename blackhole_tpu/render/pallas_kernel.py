@@ -4,10 +4,11 @@ TPU-native analog of the reference's GPU compute shader
 (/root/reference/src/visualization/shaders/ray_tracer.comp:323-548 — a
 16x16-workgroup GLSL kernel doing the full RK4 integration on-device,
 fed by SSBO ray batches).  Here each Pallas grid cell owns a tile of
-8x128 = 1024 rays whose entire state lives in VMEM/registers for the
-whole integration: HBM traffic is one read of (origin, direction) and
-one write of the hit record per ray, instead of the XLA while_loop
-path's full carry round-trip per step.  The loop body is identical
+TILE_ROWS x 128 rays (32x128 = 4096 compiled; see the tile-size note
+below) whose entire state lives in VMEM/registers for the whole
+integration: HBM traffic is one read of (origin, direction) and one
+write of the hit record per ray, instead of the XLA while_loop path's
+full carry round-trip per step.  The loop body is identical
 arithmetic to blackhole_tpu.render.trace.trace_step (RK4 branch), so the
 kernel is validated by bit-level-close comparison against that path.
 
@@ -26,6 +27,7 @@ kernel; use the checkpointed scan driver in blackhole_tpu.grad.
 from __future__ import annotations
 
 import functools
+import os
 from functools import partial
 
 import jax
@@ -39,9 +41,20 @@ from blackhole_tpu.geom.types import Hit, Integrator, RayResult, Scene
 from blackhole_tpu.integrate import steppers as sp
 from blackhole_tpu.render import geodesic, trace
 
-TILE_ROWS = 8
 TILE_LANES = 128
+# Compiled tile: 32x128 = 4096 rays resident per grid cell — measured
+# fastest of 8/16/32 rows on v5e at 1024^2/1000 steps (2.25 / 3.31 /
+# 3.73 M rays/s): longer vectors amortize the while_loop's per-step
+# control overhead and the coarser early-exit granularity costs less
+# than it saves.  Interpret mode (CPU tests) keeps 8 rows so small
+# batches don't pay 4x padded-lane simulation.
+TILE_ROWS = int(os.environ.get("BH_PALLAS_TILE_ROWS", "32"))
+TILE_ROWS_INTERPRET = 8
 TILE = TILE_ROWS * TILE_LANES
+
+
+def _rows_for(interpret: bool) -> int:
+    return TILE_ROWS_INTERPRET if interpret else TILE_ROWS
 
 # Scene parameters are fed as broadcast (8, 128) VMEM planes rather than
 # SMEM scalars: Mosaic (jax 0.9 / this libtpu) hits an "Invalid relayout"
@@ -130,8 +143,8 @@ def _bl_to_cart(r, th, ph, a):
 
 def _step_update(state, scal, disk_enabled: bool, adaptive: bool = False):
     """One masked integration step as a pure function of
-    (state, scal) tuples of (8, 128) vectors — shared by the plain
-    forward kernel and the tangent-augmented (JVP) kernel, where it is
+    (state, scal) tuples of (rows, 128) vectors — shared by the plain
+    forward kernel and the tangent-augmented (JVP) kernels, where it is
     differentiated in forward mode *inside* the Pallas kernel.
 
     state: (r, th, ph, pr, pth, cx, cy, cz, dist, steps, result,
@@ -380,7 +393,8 @@ def _store_out(out_ref, offset, state):
     out_ref[0, offset + 11] = cz_f
 
 
-def _make_kernel(disk_enabled: bool, max_steps: int, adaptive: bool):
+def _make_kernel(disk_enabled: bool, max_steps: int, adaptive: bool,
+                 rows: int):
     """Build the kernel body; disk handling, the step budget, and the
     integrator mode are compiled in (static in SimConfig)."""
 
@@ -405,14 +419,15 @@ def _make_kernel(disk_enabled: bool, max_steps: int, adaptive: bool):
             ).astype(jnp.int32)
             return (i + 1, n_active) + new
 
-        init = (jnp.int32(0), jnp.int32(TILE)) + state0
+        init = (jnp.int32(0), jnp.int32(rows * TILE_LANES)) + state0
         final = jax.lax.while_loop(cond, body, init)
         _store_out(out_ref, 0, final[2:])
 
     return kernel
 
 
-def _make_kernel_jvp(disk_enabled: bool, max_steps: int, adaptive: bool):
+def _make_kernel_jvp(disk_enabled: bool, max_steps: int, adaptive: bool,
+                     rows: int):
     """Tangent-augmented kernel: integrates (state, dstate) together,
     with the tangent recurrence generated by jax.jvp of _step_update
     *inside* the kernel.  One tangent direction per call (the caller
@@ -458,7 +473,8 @@ def _make_kernel_jvp(disk_enabled: bool, max_steps: int, adaptive: bool):
             ).astype(jnp.int32)
             return (i + 1, n_active) + new + dnew
 
-        init = (jnp.int32(0), jnp.int32(TILE)) + state0 + dstate0
+        init = (jnp.int32(0), jnp.int32(rows * TILE_LANES)) + state0 \
+            + dstate0
         final = jax.lax.while_loop(cond, body, init)
         _store_out(out_ref, 0, final[2:2 + n_state])
         _store_out(out_ref, 12, final[2 + n_state:])
@@ -466,14 +482,187 @@ def _make_kernel_jvp(disk_enabled: bool, max_steps: int, adaptive: bool):
     return kernel
 
 
+def _make_kernel_jvp_multi(disk_enabled: bool, max_steps: int,
+                           adaptive: bool, n_tan: int, rows: int):
+    """Multi-tangent kernel: integrates (state, dstate_1..dstate_n)
+    together — ONE primal integration shared by all n tangent
+    recurrences (jax.jvp is applied per tangent and XLA CSEs the
+    repeated primal).  This is the whole point versus n separate
+    tangent-augmented calls: cost P + n*T instead of n*(P + T), and the
+    tangent arithmetic T is much cheaper than the primal P on this
+    latency-bound loop.
+    """
+
+    def kernel(*refs):
+        scal_ref = refs[0]
+        dscal_refs = refs[1:1 + n_tan]
+        inp_ref = refs[1 + n_tan]
+        dinp_refs = refs[2 + n_tan:2 + 2 * n_tan]
+        out_ref = refs[-1]
+
+        scal = tuple(scal_ref[k] for k in range(_N_SCAL_PLANES)) + (
+            inp_ref[0, 5],
+        )
+        dscals = [
+            tuple(dscal_refs[t][k] for k in range(_N_SCAL_PLANES))
+            + (dinp_refs[t][0, 5],)
+            for t in range(n_tan)
+        ]
+        state0 = _load_init(inp_ref, 0, scal[2])
+        n_state = len(state0)
+        dstates0 = []
+        for t in range(n_tan):
+            ds = _load_init(dinp_refs[t], 0, dscals[t][2])
+            dzero = dinp_refs[t][0, 0] * 0.0
+            # Slots 8..10 (dist, steps, result) start at exact zero
+            # (same fix-up as _make_kernel_jvp).
+            dstates0.append(ds[:8] + (dzero, dzero, dzero) + ds[11:])
+
+        def f(state, scal_in):
+            return _step_update(state, scal_in, disk_enabled, adaptive)
+
+        def cond(carry):
+            (i, n_active, *_rest) = carry
+            return (i < max_steps) & (n_active > 0)
+
+        def body(carry):
+            i = carry[0]
+            state = tuple(carry[2:2 + n_state])
+            new = None
+            dnews = ()
+            for t in range(n_tan):
+                dstate = tuple(
+                    carry[2 + (1 + t) * n_state:2 + (2 + t) * n_state]
+                )
+                new, dnew = jax.jvp(f, (state, scal),
+                                    (dstate, dscals[t]))
+                dnews = dnews + dnew
+            n_active = jnp.sum(
+                (new[10] == float(trace.ACTIVE)).astype(jnp.int32)
+            ).astype(jnp.int32)
+            return (i + 1, n_active) + new + dnews
+
+        init = (jnp.int32(0), jnp.int32(rows * TILE_LANES)) + state0
+        for ds in dstates0:
+            init = init + ds
+        final = jax.lax.while_loop(cond, body, init)
+        for t in range(1 + n_tan):
+            _store_out(
+                out_ref, 12 * t,
+                final[2 + t * n_state:2 + (t + 1) * n_state],
+            )
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _get_multi_core(disk_on: bool, max_steps: int, adaptive: bool,
+                    n_tan: int, interpret: bool, rows: int):
+    """Config-specialized multi-tangent pallas core.
+
+    core(scal, dscals tuple, inp, dinps tuple) ->
+    (out, douts tuple), each (grid, 12, rows, 128)."""
+
+    def core(scal, dscals, inp, dinps):
+        grid = inp.shape[0]
+        scal_spec = pl.BlockSpec(
+            (_N_SCAL_PLANES, rows, TILE_LANES),
+            lambda g: (0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        inp_spec = pl.BlockSpec(
+            (1, 12, rows, TILE_LANES),
+            lambda g: (g, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out = pl.pallas_call(
+            _make_kernel_jvp_multi(disk_on, max_steps, adaptive, n_tan,
+                                   rows),
+            grid=(grid,),
+            in_specs=[scal_spec] * (1 + n_tan) + [inp_spec] * (1 + n_tan),
+            out_specs=pl.BlockSpec(
+                (1, 12 * (1 + n_tan), rows, TILE_LANES),
+                lambda g: (g, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct(
+                (grid, 12 * (1 + n_tan), rows, TILE_LANES),
+                jnp.float32,
+            ),
+            interpret=interpret,
+        )(scal, *dscals, inp, *dinps)
+        return out[:, :12], tuple(
+            out[:, 12 * (1 + t):12 * (2 + t)] for t in range(n_tan)
+        )
+
+    return core
+
+
+def trace_rays_pallas_fwdgrad(origins, directions, scene: Scene,
+                              tangents, interpret: bool = False):
+    """One kernel pass propagating several tangent directions.
+
+    tangents: sequence of either Scene-tangent pytrees, or
+    (dscene, dorigins, ddirections) triples when the rays themselves
+    depend on the differentiated parameters (camera pose / fov).
+    Returns (hit, [hit_tangent_per_direction]) — the building block of
+    grad.fast_grad.scene_value_and_grad / render_value_and_grad, which
+    turn these into d(loss)/d(params) for ~1.5x the cost of the plain
+    forward instead of n_params * jvp-kernel calls.
+    """
+    adaptive = _check_integrator(scene)
+    batch_shape = origins.shape[:-1]
+    n = int(jnp.asarray(origins).reshape(-1, 3).shape[0])
+    n_tan = len(tangents)
+    rows = _rows_for(interpret)
+
+    def pre(s, o_, d_):
+        return _prepare(o_, d_, s, rows)
+
+    o32 = jnp.asarray(origins, jnp.float32)
+    d32 = jnp.asarray(directions, jnp.float32)
+    scal, inp = pre(scene, o32, d32)
+    dscals, dinps = [], []
+    scene_tangents = []
+    for tan in tangents:
+        if isinstance(tan, tuple) and len(tan) == 3:
+            ds, do, dd = tan
+        else:
+            ds, do, dd = tan, jnp.zeros_like(o32), jnp.zeros_like(d32)
+        do = jnp.asarray(do, jnp.float32)
+        dd = jnp.asarray(dd, jnp.float32)
+        scene_tangents.append(ds)
+        _, (dscal, dinp) = jax.jvp(
+            pre, (scene, o32, d32), (ds, do, dd)
+        )
+        dscals.append(dscal)
+        dinps.append(dinp)
+
+    core = _get_multi_core(
+        bool(scene.disk_enabled and scene.config.show_disk),
+        int(scene.config.max_steps), adaptive, n_tan, interpret, rows,
+    )
+    out, douts = core(scal, tuple(dscals), inp, tuple(dinps))
+
+    def post(out_, s):
+        return _postprocess(out_, n, batch_shape, s)
+
+    hit = post(out, scene)
+    dhits = []
+    for dout, ds in zip(douts, scene_tangents):
+        _, dhit = jax.jvp(post, (out, scene), (dout, ds))
+        dhits.append(dhit)
+    return hit, dhits
+
+
 @functools.lru_cache(maxsize=None)
 def _get_core(disk_on: bool, max_steps: int, adaptive: bool,
-              interpret: bool):
+              interpret: bool, rows: int):
     """Cached, config-specialized pallas core with a custom JVP.
 
-    core(scal_planes (10,8,128), inp_planes (grid,12,8,128)) ->
-    out (grid,12,8,128); the grid size is read off inp's shape at trace
-    time, so one cache entry serves every render resolution.
+    core(scal_planes (10,rows,128), inp_planes (grid,12,rows,128)) ->
+    out (grid,12,rows,128); the grid size is read off inp's shape at
+    trace time, so one cache entry serves every render resolution.
     Forward-mode differentiation runs the tangent-augmented kernel (one
     extra call per tangent direction); reverse mode is NOT defined here
     — use blackhole_tpu.grad for that.
@@ -482,27 +671,27 @@ def _get_core(disk_on: bool, max_steps: int, adaptive: bool,
     def _call_plain(scal, inp):
         grid = inp.shape[0]
         return pl.pallas_call(
-            _make_kernel(disk_on, max_steps, adaptive),
+            _make_kernel(disk_on, max_steps, adaptive, rows),
             grid=(grid,),
             in_specs=[
                 pl.BlockSpec(
-                    (_N_SCAL_PLANES, TILE_ROWS, TILE_LANES),
+                    (_N_SCAL_PLANES, rows, TILE_LANES),
                     lambda g: (0, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (1, 12, TILE_ROWS, TILE_LANES),
+                    (1, 12, rows, TILE_LANES),
                     lambda g: (g, 0, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
             ],
             out_specs=pl.BlockSpec(
-                (1, 12, TILE_ROWS, TILE_LANES),
+                (1, 12, rows, TILE_LANES),
                 lambda g: (g, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             out_shape=jax.ShapeDtypeStruct(
-                (grid, 12, TILE_ROWS, TILE_LANES), jnp.float32
+                (grid, 12, rows, TILE_LANES), jnp.float32
             ),
             interpret=interpret,
         )(scal, inp)
@@ -510,37 +699,37 @@ def _get_core(disk_on: bool, max_steps: int, adaptive: bool,
     def _call_jvp(scal, dscal, inp, dinp):
         grid = inp.shape[0]
         out = pl.pallas_call(
-            _make_kernel_jvp(disk_on, max_steps, adaptive),
+            _make_kernel_jvp(disk_on, max_steps, adaptive, rows),
             grid=(grid,),
             in_specs=[
                 pl.BlockSpec(
-                    (_N_SCAL_PLANES, TILE_ROWS, TILE_LANES),
+                    (_N_SCAL_PLANES, rows, TILE_LANES),
                     lambda g: (0, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (_N_SCAL_PLANES, TILE_ROWS, TILE_LANES),
+                    (_N_SCAL_PLANES, rows, TILE_LANES),
                     lambda g: (0, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (1, 12, TILE_ROWS, TILE_LANES),
+                    (1, 12, rows, TILE_LANES),
                     lambda g: (g, 0, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (1, 12, TILE_ROWS, TILE_LANES),
+                    (1, 12, rows, TILE_LANES),
                     lambda g: (g, 0, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
             ],
             out_specs=pl.BlockSpec(
-                (1, 24, TILE_ROWS, TILE_LANES),
+                (1, 24, rows, TILE_LANES),
                 lambda g: (g, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             out_shape=jax.ShapeDtypeStruct(
-                (grid, 24, TILE_ROWS, TILE_LANES), jnp.float32
+                (grid, 24, rows, TILE_LANES), jnp.float32
             ),
             interpret=interpret,
         )(scal, dscal, inp, dinp)
@@ -559,38 +748,32 @@ def _get_core(disk_on: bool, max_steps: int, adaptive: bool,
     return core
 
 
-@partial(jax.jit, static_argnames=("interpret",))
-def trace_rays_pallas(origins, directions, scene: Scene,
-                      interpret: bool = False) -> Hit:
-    """Pallas-accelerated equivalent of trace.trace_rays (RK4 + RKF45).
-
-    origins/directions: (..., 3) float32.  RK4 runs the fixed-step
-    schedule; RKF45 runs the embedded adaptive pair with per-ray step
-    state in the loop carry (leapfrog/Yoshida use the XLA while_loop
-    path).  Forward-mode differentiable end-to-end (jax.jvp /
-    jax.jacfwd) via the tangent-augmented kernel; for reverse mode use
-    blackhole_tpu.grad.diff_trace.
-    """
+def _check_integrator(scene: Scene) -> bool:
     if scene.config.integrator not in (Integrator.RK4, Integrator.RKF45):
         raise ValueError(
             "pallas kernel supports the RK4 and RKF45 integrators only"
         )
-    adaptive = scene.config.integrator == Integrator.RKF45
-    batch_shape = origins.shape[:-1]
+    return scene.config.integrator == Integrator.RKF45
+
+
+def _prepare(origins, directions, scene: Scene, rows: int = TILE_ROWS):
+    """Differentiable pre-kernel stage: flatten/pad rays, exact null
+    init, pack the (grid, 12, rows, 128) input planes and the
+    (10, rows, 128) scal planes.  Returns (scal, inp)."""
+    tile = rows * TILE_LANES
     o = jnp.asarray(origins, jnp.float32).reshape(-1, 3)
     d = jnp.asarray(directions, jnp.float32).reshape(-1, 3)
     n = o.shape[0]
-    n_pad = -n % TILE
+    n_pad = -n % tile
     if n_pad:
         o = jnp.concatenate([o, jnp.broadcast_to(o[:1], (n_pad, 3))], 0)
         d = jnp.concatenate([d, jnp.broadcast_to(d[:1], (n_pad, 3))], 0)
     n_total = n + n_pad
-    grid = n_total // TILE
+    grid = n_total // tile
 
     bh = scene.blackhole
     cfg = scene.config
     disk = scene.disk
-    disk_on = bool(scene.disk_enabled and cfg.show_disk)
 
     # Ray initialization (exact, autodiff-based) outside the kernel.
     y, _, L, _ = geodesic.init_null_rays(
@@ -604,9 +787,9 @@ def trace_rays_pallas(origins, directions, scene: Scene,
         ],
         axis=0,
     ).astype(jnp.float32)  # (12, n_total)
-    inp = comps.reshape(12, grid, TILE_ROWS, TILE_LANES).transpose(
+    inp = comps.reshape(12, grid, rows, TILE_LANES).transpose(
         1, 0, 2, 3
-    )  # (grid, 12, 8, 128)
+    )  # (grid, 12, rows, 128)
 
     r_capture = HORIZON_CAPTURE_FACTOR * bh.r_plus
     scal = jnp.stack(
@@ -618,14 +801,16 @@ def trace_rays_pallas(origins, directions, scene: Scene,
             jnp.maximum(cfg.tolerance, 1e-12),
         ]
     ).astype(jnp.float32)
-    # Broadcast to (10, 8, 128) VMEM planes (see _N_SCAL_PLANES note).
+    # Broadcast to (10, rows, 128) VMEM planes (see _N_SCAL_PLANES note).
     scal = jnp.broadcast_to(
-        scal[:, None, None], (_N_SCAL_PLANES, TILE_ROWS, TILE_LANES)
+        scal[:, None, None], (_N_SCAL_PLANES, rows, TILE_LANES)
     )
+    return scal, inp
 
-    core = _get_core(disk_on, int(cfg.max_steps), adaptive, interpret)
-    out = core(scal, inp)
 
+def _postprocess(out, n: int, batch_shape, scene: Scene) -> Hit:
+    """Differentiable post-kernel stage: output planes -> shaded Hit."""
+    n_total = out.shape[0] * out.shape[2] * out.shape[3]
     flat = out.transpose(1, 0, 2, 3).reshape(12, n_total)[:, :n]
     result = jax.lax.stop_gradient(flat[0]).astype(jnp.int32)
     result = jnp.where(
@@ -634,7 +819,7 @@ def trace_rays_pallas(origins, directions, scene: Scene,
     carry = trace.TraceCarry(
         y=jnp.zeros((n, 6), jnp.float32),
         h=jnp.zeros((n,), jnp.float32),
-        L=L[:n],
+        L=jnp.zeros((n,), jnp.float32),  # unused by finalize
         dist=flat[1],
         steps=jax.lax.stop_gradient(flat[2]).astype(jnp.int32),
         result=result,
@@ -647,3 +832,30 @@ def trace_rays_pallas(origins, directions, scene: Scene,
     return jax.tree_util.tree_map(
         lambda x: x.reshape(batch_shape + x.shape[1:]), hit
     )
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def trace_rays_pallas(origins, directions, scene: Scene,
+                      interpret: bool = False) -> Hit:
+    """Pallas-accelerated equivalent of trace.trace_rays (RK4 + RKF45).
+
+    origins/directions: (..., 3) float32.  RK4 runs the fixed-step
+    schedule; RKF45 runs the embedded adaptive pair with per-ray step
+    state in the loop carry (leapfrog/Yoshida use the XLA while_loop
+    path).  Forward-mode differentiable end-to-end (jax.jvp /
+    jax.jacfwd) via the tangent-augmented kernel; for reverse mode use
+    blackhole_tpu.grad.diff_trace.  For gradients w.r.t. several
+    parameters at once, trace_rays_pallas_fwdgrad propagates all
+    tangents in ONE kernel pass.
+    """
+    adaptive = _check_integrator(scene)
+    batch_shape = origins.shape[:-1]
+    n = int(jnp.asarray(origins).reshape(-1, 3).shape[0])
+    rows = _rows_for(interpret)
+    scal, inp = _prepare(origins, directions, scene, rows)
+    core = _get_core(
+        bool(scene.disk_enabled and scene.config.show_disk),
+        int(scene.config.max_steps), adaptive, interpret, rows,
+    )
+    out = core(scal, inp)
+    return _postprocess(out, n, batch_shape, scene)

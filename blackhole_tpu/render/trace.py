@@ -327,6 +327,25 @@ def finalize(carry: TraceCarry, scene: Scene) -> Hit:
         jnp.where(is_horizon[..., None], black, sky_rgb),
     )
     one = jnp.ones_like(tdil)
+
+    # Optical depth through the disk at the crossing — implements the
+    # RayTraceHit field the reference declares but never computes
+    # (raytracer.h:91).  Slant depth of a Shakura-Sunyaev-flavored
+    # surface density Sigma(r) = density_scale * (r_in/r)^(3/5) through
+    # the (possibly inclined) disk plane: tau = Sigma / |cos(angle
+    # between the ray and the disk normal)|.
+    disk = scene.disk
+    incl = disk.inclination
+    normal = jnp.stack(
+        [jnp.zeros_like(incl), -jnp.sin(incl), jnp.cos(incl)], axis=-1
+    )
+    cos_slant = jnp.abs(jnp.sum(carry.last_dir * normal, axis=-1))
+    r_plane = _disk_plane_radius(carry.hit_pos, incl)
+    sigma = disk.density_scale * (
+        disk.inner_radius / jnp.maximum(r_plane, EPSILON)
+    ) ** 0.6
+    tau = sigma / jnp.maximum(cos_slant, 1e-3)
+
     return Hit(
         result=result,
         position=pos,
@@ -338,6 +357,7 @@ def finalize(carry: TraceCarry, scene: Scene) -> Hit:
         temperature=jnp.where(is_disk, temp, jnp.zeros_like(temp)),
         redshift=jnp.where(is_disk, grav, one),
         color=color,
+        optical_depth=jnp.where(is_disk, tau, jnp.zeros_like(tau)),
     )
 
 

@@ -163,6 +163,32 @@ def test_inverse_rendering_recovers_camera_pose():
     assert err1 < err0
 
 
+def test_fit_forward_recovers_mass_and_spin():
+    """Forward-mode inverse rendering (one multi-tangent Pallas pass per
+    step, interpret mode on CPU) must descend like the reverse path."""
+    scene = Scene(
+        blackhole=BlackHole.create(1.0, 0.9, dtype=jnp.float32),
+        disk=Disk.create(6.0, 20.0, dtype=jnp.float32),
+        config=SimConfig.create(
+            time_step=0.1, max_ray_distance=80.0, max_steps=120,
+            dtype=jnp.float32,
+        ),
+        disk_enabled=True,
+    )
+    camera = small_camera(dtype=jnp.float32)
+    target = image_mod.render_image(scene, camera, width=16, height=16)
+
+    bad = dataclasses.replace(
+        scene, blackhole=BlackHole.create(1.12, 0.7, dtype=jnp.float32)
+    )
+    fitted_scene, _, losses = inverse.fit_forward(
+        target, bad, camera, 16, 16, steps=20, learning_rate=5e-2,
+        optimize=("log_mass", "spin_raw"), interpret=True,
+    )
+    assert losses[-1] < 0.6 * losses[0]
+    assert abs(float(fitted_scene.blackhole.mass) - 1.0) < abs(1.12 - 1.0)
+
+
 def test_pack_unpack_roundtrip():
     scene, camera = small_scene(spin=0.7), small_camera()
     params = inverse.pack_params(scene, camera)

@@ -175,6 +175,45 @@ def test_pallas_fast_grad_value_and_grad():
     )
 
 
+def test_pallas_multi_tangent_value_and_grad():
+    """scene_value_and_grad propagates ALL parameter tangents in one
+    kernel pass and must agree with reverse mode."""
+    import dataclasses
+
+    import jax
+
+    from blackhole_tpu.grad import diff_trace, fast_grad
+
+    scene, o, d = make_case(0.9, True, max_steps=150)
+    o, d = o[:256], d[:256]
+
+    def scene_fn(p):
+        return dataclasses.replace(
+            scene,
+            blackhole=dataclasses.replace(
+                scene.blackhole, mass=p["mass"], spin=p["spin"]
+            ),
+        )
+
+    def loss_of_hit(hit):
+        return jnp.sum(hit.color) / hit.color.size
+
+    vg = fast_grad.scene_value_and_grad(loss_of_hit, scene_fn,
+                                        interpret=True)
+    p0 = {"mass": jnp.float32(1.0), "spin": jnp.float32(0.9)}
+    v1, g1 = vg(p0, o, d)
+    v2, g2 = jax.value_and_grad(
+        lambda p: loss_of_hit(diff_trace.trace_rays_diff(o, d, scene_fn(p)))
+    )(p0)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(g1["mass"]), float(g2["mass"]), rtol=1e-3, atol=1e-8
+    )
+    np.testing.assert_allclose(
+        float(g1["spin"]), float(g2["spin"]), rtol=1e-3, atol=1e-8
+    )
+
+
 def test_pallas_rejects_unsupported_integrator():
     scene, o, d = make_case(0.9, True)
     import dataclasses

@@ -248,6 +248,26 @@ class TestImage:
         assert img.shape == (16, 32, 3)
         assert float(img.min()) >= 0.0 and float(img.max()) <= 1.0
 
+    def test_optical_depth_on_disk_hits(self):
+        """tau is computed only at disk crossings (the reference
+        declares the field, never fills it — raytracer.h:91): positive
+        there, zero elsewhere, and larger for grazing incidence."""
+        scene = make_scene(disk=True, max_steps=800)
+        # Steep crossing: straight down onto the disk at r ~ 10.
+        o = jnp.array([[10.0, 0.0, 15.0], [0.0, 0.0, 30.0]])
+        d = jnp.array([[0.0, 0.0, -1.0], [0.0, 0.0, -1.0]])
+        hit = trace.trace_rays(o, d, scene)
+        res = np.asarray(hit.result)
+        tau = np.asarray(hit.optical_depth)
+        assert res[0] == RayResult.DISK and tau[0] > 0.0
+        assert res[1] == RayResult.HORIZON and tau[1] == 0.0
+        # Grazing crossing (same radius, shallow angle) -> larger tau.
+        o2 = jnp.array([[16.0, 0.0, 1.2]])
+        d2 = jnp.array([[-1.0, 0.0, -0.2]])
+        hit2 = trace.trace_rays(o2, d2 / jnp.linalg.norm(d2), scene)
+        if int(hit2.result[0]) == RayResult.DISK:
+            assert float(hit2.optical_depth[0]) > tau[0]
+
     def test_temporal_accumulation_converges(self):
         h = jnp.zeros((4, 4, 3))
         frame = jnp.ones((4, 4, 3))
