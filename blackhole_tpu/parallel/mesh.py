@@ -58,7 +58,8 @@ def _check_divisible(height: int, n: int):
         )
 
 
-@partial(jax.jit, static_argnames=("width", "height", "mesh", "spp"))
+@partial(jax.jit, static_argnames=("width", "height", "mesh", "spp",
+                                   "engine"))
 def render_image_sharded(
     scene: Scene,
     camera: Camera,
@@ -66,11 +67,15 @@ def render_image_sharded(
     height: int,
     mesh: Mesh,
     spp: int = 1,
+    engine: str = "xla",
 ):
     """Forward render with rows sharded over the mesh.
 
     Each device traces height/n rows independently (zero communication);
     the result is a fully-addressable (H, W, 3) array laid out row-sharded.
+    engine: "xla" (default — runs everywhere incl. the virtual CPU test
+    mesh) or "pallas"/"auto" to run the fused kernel per shard on real
+    multi-chip TPU slices.
     """
     n = mesh.shape[RAY_AXIS]
     _check_divisible(height, n)
@@ -87,8 +92,11 @@ def render_image_sharded(
         )
 
         def local_trace(o_blk, d_blk):
-            hit = trace.trace_rays(
-                o_blk.reshape(-1, 3), d_blk.reshape(-1, 3), scene
+            from blackhole_tpu.render import image as image_mod
+
+            hit = image_mod.trace_rays_fast(
+                o_blk.reshape(-1, 3), d_blk.reshape(-1, 3), scene,
+                engine,
             )
             return hit.color.reshape(o_blk.shape[0], width, 3)
 

@@ -44,7 +44,22 @@ def trace_rays_fast(origins, directions, scene: Scene, engine: str = "auto"):
     if engine == "pallas":
         from blackhole_tpu.render import pallas_kernel
 
-        return pallas_kernel.trace_rays_pallas(origins, directions, scene)
+        try:
+            return pallas_kernel.trace_rays_pallas(
+                origins, directions, scene
+            )
+        except Exception:  # noqa: BLE001 — lowering/compile failure
+            # Graceful engine fallback, the analog of the reference's
+            # GPU -> CPU raytrace fallback when compute shaders are
+            # unavailable (renderer.cpp:1880-1887, 2086-2092).  Any
+            # Mosaic lowering regression degrades to the XLA path
+            # instead of killing the render.
+            from blackhole_tpu.utils import logging as bh_logging
+
+            bh_logging.get_logger("render").warning(
+                "pallas kernel unavailable; falling back to XLA path"
+            )
+            return trace.trace_rays(origins, directions, scene)
     return trace.trace_rays(origins, directions, scene)
 
 

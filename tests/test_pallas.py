@@ -214,6 +214,22 @@ def test_pallas_multi_tangent_value_and_grad():
     )
 
 
+def test_engine_fallback_to_xla_when_pallas_unavailable():
+    """On a CPU backend a compiled (non-interpret) pallas call cannot
+    lower; trace_rays_fast must degrade to the XLA path — the analog of
+    the reference's GPU -> CPU raytrace fallback
+    (renderer.cpp:1880-1887, 2086-2092)."""
+    from blackhole_tpu.render import image as image_mod
+
+    scene, o, d = make_case(0.9, True, max_steps=100)
+    o, d = o[:64], d[:64]
+    hit_ref = trace.trace_rays(o, d, scene)
+    hit_fb = image_mod.trace_rays_fast(o, d, scene, engine="pallas")
+    np.testing.assert_array_equal(
+        np.asarray(hit_fb.result), np.asarray(hit_ref.result)
+    )
+
+
 def test_pallas_rejects_unsupported_integrator():
     scene, o, d = make_case(0.9, True)
     import dataclasses
