@@ -40,8 +40,13 @@ def _buckets_for(max_steps: int):
 
 @partial(jax.jit, static_argnames=())
 def _chunk_steps(o_blk, d_blk, scene: Scene):
-    """Max steps any ray in the chunk needs (early-exit forward)."""
-    hit = trace.trace_rays(o_blk, d_blk, scene)
+    """Max steps any ray in the chunk needs (early-exit forward).
+
+    Uses the fastest available engine — on TPU the fused Pallas kernel
+    makes the sizing pass nearly free relative to the backward scans."""
+    from blackhole_tpu.render import image as image_mod
+
+    hit = image_mod.trace_rays_fast(o_blk, d_blk, scene)
     return jnp.max(hit.steps)
 
 
