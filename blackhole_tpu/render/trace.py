@@ -321,10 +321,18 @@ def finalize(carry: TraceCarry, scene: Scene) -> Hit:
     )
     sky_rgb = shading.sky_color(carry.last_dir)
     black = jnp.zeros_like(sky_rgb)
+    # Budget-exhausted rays that ended deep in the potential (inside
+    # ~4M: between the photon sphere 3M and the ISCO) are trapped —
+    # paint them black like captures instead of sky.  The reference
+    # colors every non-horizon ray as sky (raytracer.c:1146-1160),
+    # which erases the shadow whenever the step budget runs out first
+    # (its engine *always* exhausts the budget — tools/ref_parity.py).
+    is_trapped = (result == RayResult.MAX_STEPS) & (
+        r_term < 4.0 * bh.mass
+    )
+    dark = (is_horizon | is_trapped)[..., None]
     color = jnp.where(
-        is_disk[..., None],
-        disk_rgb,
-        jnp.where(is_horizon[..., None], black, sky_rgb),
+        is_disk[..., None], disk_rgb, jnp.where(dark, black, sky_rgb)
     )
     one = jnp.ones_like(tdil)
 

@@ -167,3 +167,57 @@ def composite_preview(height: int, width: int, shadow_radius=0.18,
         height, width, shadow_radius, spin, time=time
     )
     return jnp.clip(rgb + (1.0 - alpha[..., None]) * bg, 0.0, 1.0)
+
+
+def particle_overlay(image, positions, temperatures, active, camera,
+                     brightness: float = 0.8):
+    """Splat particle point-sprites onto a rendered frame.
+
+    The analog of the reference's particle rendering path — the physics
+    thread hands particle arrays to GL point sprites
+    (renderer.cpp:1105-1226, fed by bh_get_particle_data).  As there,
+    particles are projected with the flat-space pinhole camera (no
+    lensing) and drawn additively; color is the blackbody palette of the
+    particle temperature (white when temperature is 0).
+
+    image: (H, W, 3); positions (N, 3); temperatures (N,);
+    active (N,) bool.  Returns the composited (H, W, 3) image.
+    """
+    from blackhole_tpu.constants import PI
+    from blackhole_tpu.render import camera as cam_mod
+    from blackhole_tpu.render import shading
+
+    h, w = image.shape[:2]
+    forward, right, up = cam_mod.camera_basis(camera)
+    rel = positions - camera.position
+    z = rel @ forward
+    x = rel @ right
+    y = rel @ up
+
+    fov_rad = camera.fov_deg * (PI / 180.0)
+    plane_h = 2.0 * jnp.tan(0.5 * fov_rad)
+    plane_w = plane_h * (w / h)
+    zs = jnp.maximum(z, 1e-3)
+    ndc_x = (x / zs) / (0.5 * plane_w)
+    ndc_y = (y / zs) / (0.5 * plane_h)
+    px = ((ndc_x + 1.0) * 0.5 * w).astype(jnp.int32)
+    py = ((1.0 - ndc_y) * 0.5 * h).astype(jnp.int32)
+
+    visible = (
+        active & (z > 0.1)
+        & (px >= 0) & (px < w) & (py >= 0) & (py < h)
+    )
+    px = jnp.clip(px, 0, w - 1)
+    py = jnp.clip(py, 0, h - 1)
+
+    white = jnp.ones((3,), image.dtype)
+    rgb = jnp.where(
+        (temperatures > 0.0)[:, None],
+        shading.temperature_to_rgb(jnp.maximum(temperatures, 1.0)),
+        white,
+    )
+    # Fade with distance like GL point attenuation.
+    fade = brightness / (1.0 + 0.001 * zs * zs)
+    splat = (rgb * fade[:, None]) * visible[:, None]
+    out = image.at[py, px].add(splat.astype(image.dtype))
+    return jnp.clip(out, 0.0, 1.0)

@@ -43,6 +43,7 @@ HELP = """commands:
   dist <v> | el <v> | az <v>         orbit camera (az/el accept +d/-d)
   steps <n>                          integration budget
   disk on|off                        toggle accretion disk
+  particles on|off                   live disk-particle overlay
   save <path.png>                    write current frame
   help | quit
 """
@@ -53,7 +54,8 @@ class ViewerState:
     (renderer.cpp:1015-1101)."""
 
     def __init__(self, mass=1.0, spin=0.5, fov=22.0, distance=35.0,
-                 elevation=18.0, azimuth=0.0, steps=400, disk=True):
+                 elevation=18.0, azimuth=0.0, steps=400, disk=True,
+                 particles=False, n_particles=600):
         self.mass = mass
         self.spin = spin
         self.fov = fov
@@ -62,6 +64,8 @@ class ViewerState:
         self.azimuth = azimuth
         self.steps = steps
         self.disk = disk
+        self.particles = particles
+        self.n_particles = n_particles
 
     def scene(self) -> Scene:
         return Scene(
@@ -94,6 +98,9 @@ class ViewerState:
             return f"save:{parts[1]}"
         if cmd == "disk" and len(parts) == 2:
             self.disk = parts[1].lower() in ("on", "1", "true")
+            return "changed"
+        if cmd == "particles" and len(parts) == 2:
+            self.particles = parts[1].lower() in ("on", "1", "true")
             return "changed"
         if len(parts) != 2:
             return f"error: bad command {line!r} (try: help)"
@@ -179,6 +186,7 @@ def run(
     history = None
     accum_idx = 0
     jitter_idx = 0
+    psystem = None  # lazily created particle pool (physics-thread analog)
     status = "viewer ready (type: help)"
 
     while max_frames is None or stats["frames"] < max_frames:
@@ -229,6 +237,34 @@ def run(
                 history, accum_idx = np.asarray(hist), int(idx)
             frame = history
             tier_label = f"full+{accum_idx}"
+
+        # --- live particle overlay (renderer.cpp:1105-1226 +
+        # physicsThreadFunc:863-1006: seed once, step every frame,
+        # splat point sprites over the frame) ---
+        if state.particles:
+            import jax
+
+            from blackhole_tpu.particles import dynamics, generators
+            from blackhole_tpu.particles import system as psys_mod
+            from blackhole_tpu.viz import effects
+
+            if psystem is None:
+                psystem = psys_mod.ParticleSystem.create(state.n_particles)
+                psystem, _ = generators.create_accretion_disk(
+                    psystem, jax.random.PRNGKey(0), state.n_particles,
+                    scene.blackhole, scene.disk,
+                )
+            psystem = dynamics.update_particles(
+                psystem, scene.blackhole, scene.config
+            )
+            import jax.numpy as jnp
+
+            frame = np.asarray(effects.particle_overlay(
+                jnp.asarray(frame), psystem.position,
+                psystem.temperature, psystem.active, camera,
+            ))
+        else:
+            psystem = None
 
         dt = time.perf_counter() - t0
         stats["frames"] += 1

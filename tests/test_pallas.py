@@ -119,17 +119,22 @@ def test_pallas_rkf45_matches_while_loop(spin, disk):
     cascade amplifies ulp-level arithmetic-order differences into
     different step *sequences* (steps counts differ by a few), so
     bitwise color parity is impossible for chaotic geodesics."""
+    from blackhole_tpu.geom.types import RayResult
+
     scene, o, d = make_case(spin, disk, max_steps=192, integrator="rkf45")
     o, d = o[:512], d[:512]
     hit_ref = trace.trace_rays(o, d, scene)
     hit_pal = pallas_kernel.trace_rays_pallas(o, d, scene, interpret=True)
-    np.testing.assert_array_equal(
-        np.asarray(hit_pal.result), np.asarray(hit_ref.result)
-    )
+    res = np.asarray(hit_ref.result)
+    np.testing.assert_array_equal(np.asarray(hit_pal.result), res)
     dc = np.max(
         np.abs(np.asarray(hit_pal.color) - np.asarray(hit_ref.color)),
         axis=-1,
     )
+    # Budget-exhausted rays are excluded from color comparison: their
+    # terminal radius (hence trapped-black vs sky classification) is a
+    # function of the engine's exact step sequence.
+    dc = dc[res != RayResult.MAX_STEPS]
     assert float(dc.mean()) < 2e-3
     assert float(np.percentile(dc, 99)) < 3e-2
 

@@ -65,6 +65,43 @@ def test_ansi_frame_shape():
     assert len(s.splitlines()) == 4  # 2 pixel rows per char row
 
 
+def test_viewer_particle_overlay():
+    """'particles on' seeds a pool and splats it onto the frame — the
+    reference physics-thread + GL point-sprite path
+    (renderer.cpp:863-1006, 1105-1226)."""
+    import io as io_mod
+
+    out = io_mod.StringIO()
+    stats = viewer.run(
+        viewer.ViewerState(steps=100, particles=True, n_particles=64,
+                           disk=True),
+        width=24, height=16, max_frames=2, commands=[], draw=True,
+        out=out,
+    )
+    assert stats["frames"] == 2
+    assert "▀" in out.getvalue()
+
+
+def test_particle_overlay_splats_visible_points():
+    import jax.numpy as jnp
+
+    from blackhole_tpu.geom.types import Camera
+    from blackhole_tpu.viz import effects
+
+    cam = Camera.create(
+        position=(0.0, -30.0, 0.0), direction=(0.0, 1.0, 0.0),
+        up=(0.0, 0.0, 1.0), fov_deg=40.0,
+    )
+    img = jnp.zeros((16, 16, 3))
+    pos = jnp.array([[0.0, 0.0, 0.0],      # dead ahead -> center
+                     [0.0, -40.0, 0.0]])   # behind the camera -> culled
+    temps = jnp.array([8000.0, 8000.0])
+    active = jnp.array([True, True])
+    out = effects.particle_overlay(img, pos, temps, active, cam)
+    assert float(out[8, 8].sum()) > 0.0
+    assert float(out.sum()) == float(out[8, 8].sum())  # only one splat
+
+
 def test_viewer_state_commands():
     st = viewer.ViewerState()
     assert st.apply("mass 2.0") == "changed" and st.mass == 2.0

@@ -68,6 +68,8 @@ def check_forward(spin, disk, integrator):
     scene, o, d = _case(spin, disk, integrator)
     hit_ref = trace.trace_rays(o, d, scene)
     hit_pal = pallas_kernel.trace_rays_pallas(o, d, scene)
+    from blackhole_tpu.geom.types import RayResult
+
     res_ref = np.asarray(hit_ref.result)
     res_pal = np.asarray(hit_pal.result)
     agree = res_ref == res_pal
@@ -75,7 +77,10 @@ def check_forward(spin, disk, integrator):
         np.abs(np.asarray(hit_ref.color) - np.asarray(hit_pal.color)),
         axis=-1,
     )
-    dc_agree = dc[agree] if agree.any() else dc
+    # Budget-exhausted rays' trapped-vs-sky coloring depends on the
+    # engine's exact step sequence; compare colors on the rest.
+    cmp_mask = agree & (res_ref != RayResult.MAX_STEPS)
+    dc_agree = dc[cmp_mask] if cmp_mask.any() else dc
     stats = {
         "integrator": integrator,
         "spin": spin,
