@@ -49,12 +49,18 @@ TILE_LANES = 128
 # than it saves.  Interpret mode (CPU tests) keeps 8 rows so small
 # batches don't pay 4x padded-lane simulation.
 TILE_ROWS = int(os.environ.get("BH_PALLAS_TILE_ROWS", "32"))
+# The multi-tangent kernel carries (1 + n_tan) * 19 state planes, so its
+# VMEM sweet spot is smaller: 16 rows measured 1.55M vs 1.50M rays/s
+# fwd+bwd at 32 rows (1024^2, 2 tangents, v5e).
+TILE_ROWS_MULTI = int(os.environ.get("BH_PALLAS_TILE_ROWS_MULTI", "16"))
 TILE_ROWS_INTERPRET = 8
 TILE = TILE_ROWS * TILE_LANES
 
 
-def _rows_for(interpret: bool) -> int:
-    return TILE_ROWS_INTERPRET if interpret else TILE_ROWS
+def _rows_for(interpret: bool, multi: bool = False) -> int:
+    if interpret:
+        return TILE_ROWS_INTERPRET
+    return TILE_ROWS_MULTI if multi else TILE_ROWS
 
 # Scene parameters are fed as broadcast (8, 128) VMEM planes rather than
 # SMEM scalars: Mosaic (jax 0.9 / this libtpu) hits an "Invalid relayout"
@@ -614,7 +620,7 @@ def trace_rays_pallas_fwdgrad(origins, directions, scene: Scene,
     batch_shape = origins.shape[:-1]
     n = int(jnp.asarray(origins).reshape(-1, 3).shape[0])
     n_tan = len(tangents)
-    rows = _rows_for(interpret)
+    rows = _rows_for(interpret, multi=True)
 
     def pre(s, o_, d_):
         return _prepare(o_, d_, s, rows)
