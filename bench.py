@@ -85,13 +85,26 @@ def main():
     # --- forward-only: fastest engine (fused Pallas kernel on TPU) ---
     from blackhole_tpu.render import image as image_mod
 
+    # Depth-sorted tiling (image.predicted_depth_order): a 128x128
+    # prepass orders rays so each Pallas tile holds similar integration
+    # depths; prepass + argsort run INSIDE the timed region.
+    # BENCH_SORT=0 falls back to raster tiling.
+    use_sort = (
+        os.environ.get("BENCH_SORT", "1") != "0" and platform == "tpu"
+    )
+
+    def _order(s):
+        if not use_sort:
+            return None
+        return image_mod.predicted_depth_order(s, camera, WIDTH, HEIGHT)
+
     @jax.jit
     def fwd(mass, o, d):
         s = dataclasses.replace(
             scene, blackhole=dataclasses.replace(scene.blackhole, mass=mass)
         )
         hit = image_mod.trace_rays_fast(
-            o.reshape(-1, 3), d.reshape(-1, 3), s
+            o.reshape(-1, 3), d.reshape(-1, 3), s, order=_order(s)
         )
         return hit.color
 
@@ -118,9 +131,12 @@ def main():
         def loss_of_hit(hit):
             return jnp.sum(hit.color) / (3.0 * n_rays)
 
-        _vg = jax.jit(
-            fast_grad.scene_value_and_grad(loss_of_hit, scene_fn)
-        )
+        _svg = fast_grad.scene_value_and_grad(loss_of_hit, scene_fn)
+
+        @jax.jit
+        def _vg(params, o_flat, d_flat):
+            return _svg(params, o_flat, d_flat,
+                        order=_order(scene_fn(params)))
 
         def fwdbwd(mass, spin, o, d):
             return _vg(

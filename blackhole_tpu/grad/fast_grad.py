@@ -99,7 +99,7 @@ def render_value_and_grad(loss_of_hit, setup_fn, interpret: bool = False):
     """
     from blackhole_tpu.render import pallas_kernel
 
-    def value_and_grad(params):
+    def value_and_grad(params, order=None):
         values, rebuild = _flatten_scalars(params)
 
         def build(vals):
@@ -116,7 +116,8 @@ def render_value_and_grad(loss_of_hit, setup_fn, interpret: bool = False):
             tangents.append((dscene, do, dd))
 
         hit, dhits = pallas_kernel.trace_rays_pallas_fwdgrad(
-            origins, dirs, scene, tangents, interpret=interpret
+            origins, dirs, scene, tangents, interpret=interpret,
+            order=order,
         )
         loss = None
         grads = []
@@ -141,7 +142,7 @@ def scene_value_and_grad(loss_of_hit, scene_fn, interpret: bool = False):
     """
     from blackhole_tpu.render import pallas_kernel
 
-    def value_and_grad(params, origins, dirs):
+    def value_and_grad(params, origins, dirs, order=None):
         values, rebuild = _flatten_scalars(params)
 
         def build(vals):
@@ -158,7 +159,8 @@ def scene_value_and_grad(loss_of_hit, scene_fn, interpret: bool = False):
             tangents.append(dscene)
 
         hit, dhits = pallas_kernel.trace_rays_pallas_fwdgrad(
-            origins, dirs, scene, tangents, interpret=interpret
+            origins, dirs, scene, tangents, interpret=interpret,
+            order=order,
         )
         loss = None
         grads = []

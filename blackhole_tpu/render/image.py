@@ -22,7 +22,53 @@ from blackhole_tpu.render import camera as cam
 from blackhole_tpu.render import trace
 
 
-def trace_rays_fast(origins, directions, scene: Scene, engine: str = "auto"):
+def predicted_depth_order(scene: Scene, camera: Camera, width: int,
+                          height: int, block: int = 8,
+                          interpret: bool = False):
+    """Depth-sort permutation for the (width x height) pixel rays.
+
+    Renders a (width/block x height/block) prepass through the same
+    kernel, takes each pixel's integration step count, widens it with a
+    3x3 max filter (so sharp features — the photon ring — cannot hide
+    between prepass samples), nearest-upsamples to full resolution, and
+    returns argsort(deepest first).  Feeding this permutation to
+    trace_rays_pallas / trace_rays_pallas_fwdgrad re-tiles the image so
+    each Pallas tile holds rays of similar integration depth, letting
+    the per-tile early exit retire shallow tiles hundreds of steps
+    sooner: measured 1.39x fewer total loop iterations on the bench
+    scene (oracle bound 1.52x, tools/measure_sort_gain2.py), at a
+    prepass cost of 1/block^2 of the render.
+
+    The permutation only regroups rays (per-ray math is mask-based and
+    lane-independent), so the rendered image is bitwise identical.
+    """
+    from blackhole_tpu.render import pallas_kernel
+
+    lw = max(width // block, 1)
+    lh = max(height // block, 1)
+    o, d = cam.generate_rays(camera, lw, lh)
+    hit = pallas_kernel.trace_rays_pallas(
+        o.reshape(-1, 3), d.reshape(-1, 3), scene, interpret=interpret
+    )
+    s = hit.steps.reshape(lh, lw).astype(jnp.float32)
+    p = jnp.pad(s, 1, mode="edge")
+    s3 = s
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            s3 = jnp.maximum(s3, p[1 + dy:1 + dy + lh, 1 + dx:1 + dx + lw])
+    pred = jnp.repeat(jnp.repeat(s3, block, axis=0), block, axis=1)
+    pred = pred[:height, :width]
+    if pred.shape != (height, width):  # width/height not multiples of block
+        pred = jnp.pad(
+            pred,
+            ((0, height - pred.shape[0]), (0, width - pred.shape[1])),
+            mode="edge",
+        )
+    return jnp.argsort(-jax.lax.stop_gradient(pred).reshape(-1))
+
+
+def trace_rays_fast(origins, directions, scene: Scene, engine: str = "auto",
+                    order=None):
     """Forward ray tracing through the fastest available engine.
 
     engine: "pallas" (fused TPU kernel), "xla" (while_loop path), or
@@ -30,6 +76,10 @@ def trace_rays_fast(origins, directions, scene: Scene, engine: str = "auto"):
     ~6x the XLA path on v5e), XLA otherwise.  Both engines produce the
     same Hit records (tested to result-code equality).  Forward-only:
     the differentiable path is blackhole_tpu.grad.diff_trace.
+
+    order: optional depth-sort permutation (predicted_depth_order) used
+    by the pallas engine; the XLA path ignores it (its single
+    while_loop has no tile granularity to exploit).
     """
     if engine == "auto":
         engine = (
@@ -46,7 +96,7 @@ def trace_rays_fast(origins, directions, scene: Scene, engine: str = "auto"):
 
         try:
             return pallas_kernel.trace_rays_pallas(
-                origins, directions, scene
+                origins, directions, scene, order=order
             )
         except Exception:  # noqa: BLE001 — lowering/compile failure
             # Graceful engine fallback, the analog of the reference's
@@ -64,7 +114,7 @@ def trace_rays_fast(origins, directions, scene: Scene, engine: str = "auto"):
 
 
 @partial(jax.jit, static_argnames=("width", "height", "spp", "jitter",
-                                   "chunks", "engine"))
+                                   "chunks", "engine", "depth_sort"))
 def render_image(
     scene: Scene,
     camera: Camera,
@@ -74,6 +124,7 @@ def render_image(
     jitter: str = "halton",
     chunks: int = 1,
     engine: str = "auto",
+    depth_sort: bool | None = None,
 ):
     """Render an RGB image (H, W, 3) in [0, 1].
 
@@ -81,13 +132,36 @@ def render_image(
     (raytracer.c:1096-1165).  chunks: split the pixel batch into this many
     sequentially-traced chunks (early-exit granularity; XLA engine only —
     the pallas kernel early-exits per 1024-ray tile internally).
+    depth_sort: feed the pallas engine a prepass depth permutation
+    (predicted_depth_order); None = auto (on for TPU pallas renders of
+    >= 256x256).  One prepass serves every spp sample.
     """
     n_pix = width * height
     assert n_pix % chunks == 0, "chunks must divide width*height"
 
+    resolved = engine
+    if resolved == "auto":
+        resolved = (
+            "pallas"
+            if (
+                jax.default_backend() == "tpu"
+                and scene.config.integrator
+                in (Integrator.RK4, Integrator.RKF45)
+            )
+            else "xla"
+        )
+    if depth_sort is None:
+        depth_sort = resolved == "pallas" and n_pix >= 65536
+    order = (
+        predicted_depth_order(scene, camera, width, height)
+        if depth_sort and resolved == "pallas"
+        else None
+    )
+
     def trace_flat(origins, dirs):
         if chunks == 1 or engine != "xla":
-            return trace_rays_fast(origins, dirs, scene, engine)
+            return trace_rays_fast(origins, dirs, scene, engine,
+                                   order=order)
         o = origins.reshape(chunks, n_pix // chunks, 3)
         d = dirs.reshape(chunks, n_pix // chunks, 3)
         hit = jax.lax.map(

@@ -66,14 +66,15 @@ def _rows_for(interpret: bool, multi: bool = False) -> int:
 # SMEM scalars: Mosaic (jax 0.9 / this libtpu) hits an "Invalid relayout"
 # bug when *traced* SMEM scalars mix into vector arithmetic inside the
 # while_loop (constant-folded scalars compile fine).  Plane layout:
-# [M, a, time_step, max_ray_distance, r_capture,
+# [M, a, Q, time_step, max_ray_distance, r_capture,
 #  disk_inner, disk_outer, sin_incl, cos_incl, tol]
-_N_SCAL_PLANES = 10
+_N_SCAL_PLANES = 11
 
 
-def _rhs(r, th, pr, pth, L, M, a):
+def _rhs(r, th, pr, pth, L, M, a, Q):
     """Geodesic RHS on (8,128) tiles — same closed form as
     blackhole_tpu.render.geodesic.rhs with E = 1 (affine normalization).
+    Q: Kerr-Newman charge (tm = 2Mr - Q^2 replaces every 2Mr mass term).
     Returns (dr, dth, dph, dpr, dpth, dt)."""
     E = 1.0
     ct = jnp.cos(th)
@@ -81,14 +82,15 @@ def _rhs(r, th, pr, pth, L, M, a):
     st2 = jnp.maximum(st * st, EPSILON)
     a2 = a * a
     sigma = r * r + a2 * ct * ct
-    delta = r * r - 2.0 * M * r + a2
+    delta = r * r - 2.0 * M * r + a2 + Q * Q
+    tm = 2.0 * M * r - Q * Q
     r2a2 = r * r + a2
     A = r2a2 * r2a2 - delta * a2 * st2
     inv_sd = 1.0 / (sigma * delta)
 
     g_rr_up = delta / sigma
     g_thth_up = 1.0 / sigma
-    g_tphi_up = -2.0 * M * r * a * inv_sd
+    g_tphi_up = -tm * a * inv_sd
     g_tt_up = -A * inv_sd
     g_phph_up = (delta - a2 * st2) * inv_sd / st2
 
@@ -103,7 +105,7 @@ def _rhs(r, th, pr, pth, L, M, a):
     dA = 4.0 * r * r2a2 - ddelta * a2 * st2
     dinv_sd = -(dsigma * delta + sigma * ddelta) * inv_sd * inv_sd
     dg_tt = -(dA * inv_sd + A * dinv_sd)
-    dg_tphi = -2.0 * M * a * (inv_sd + r * dinv_sd)
+    dg_tphi = -a * (2.0 * M * inv_sd + tm * dinv_sd)
     dg_rr = (ddelta * sigma - delta * dsigma) / (sigma * sigma)
     dg_thth = -dsigma / (sigma * sigma)
     dg_phph = (ddelta * inv_sd + (delta - a2 * st2) * dinv_sd) / st2
@@ -121,7 +123,7 @@ def _rhs(r, th, pr, pth, L, M, a):
     dA_th = -delta * a2 * dst2
     dinv_sd_th = -(dsigma_th * delta) * inv_sd * inv_sd
     dg_tt_th = -(dA_th * inv_sd + A * dinv_sd_th)
-    dg_tphi_th = -2.0 * M * r * a * dinv_sd_th
+    dg_tphi_th = -tm * a * dinv_sd_th
     dg_rr_th = -delta * dsigma_th / (sigma * sigma)
     dg_thth_th = -dsigma_th / (sigma * sigma)
     num = delta - a2 * st2
@@ -155,7 +157,7 @@ def _step_update(state, scal, disk_enabled: bool, adaptive: bool = False):
 
     state: (r, th, ph, pr, pth, cx, cy, cz, dist, steps, result,
             hx, hy, hz, lx, ly, lz, t, h)
-    scal:  (M, a, dt, max_dist, r_capture, disk_inner, disk_outer,
+    scal:  (M, a, Q, dt, max_dist, r_capture, disk_inner, disk_outer,
             sin_incl, cos_incl, tol, L)  [L rides with scal: per-ray const]
 
     adaptive=False: fixed-step RK4 with the radius schedule
@@ -168,7 +170,7 @@ def _step_update(state, scal, disk_enabled: bool, adaptive: bool = False):
     """
     (r, th, ph, pr, pth, cx, cy, cz, dist, steps, result,
      hx, hy, hz, lx, ly, lz, tt, h_carry) = state
-    (M, a, dt, max_dist, r_capture, disk_inner, disk_outer,
+    (M, a, Q, dt, max_dist, r_capture, disk_inner, disk_outer,
      sin_incl, cos_incl, tol, L) = scal
     active = result == float(trace.ACTIVE)
     rs = 2.0 * M
@@ -183,18 +185,18 @@ def _step_update(state, scal, disk_enabled: bool, adaptive: bool = False):
 
     if not adaptive:
         # RK4 over (r, th, ph, pr, pth, t).
-        k1 = _rhs(r, th, pr, pth, L, M, a)
+        k1 = _rhs(r, th, pr, pth, L, M, a, Q)
         k2 = _rhs(
             r + 0.5 * h * k1[0], th + 0.5 * h * k1[1],
-            pr + 0.5 * h * k1[3], pth + 0.5 * h * k1[4], L, M, a,
+            pr + 0.5 * h * k1[3], pth + 0.5 * h * k1[4], L, M, a, Q,
         )
         k3 = _rhs(
             r + 0.5 * h * k2[0], th + 0.5 * h * k2[1],
-            pr + 0.5 * h * k2[3], pth + 0.5 * h * k2[4], L, M, a,
+            pr + 0.5 * h * k2[3], pth + 0.5 * h * k2[4], L, M, a, Q,
         )
         k4 = _rhs(
             r + h * k3[0], th + h * k3[1],
-            pr + h * k3[3], pth + h * k3[4], L, M, a,
+            pr + h * k3[3], pth + h * k3[4], L, M, a, Q,
         )
         sixth = h / 6.0
         r_t = r + sixth * (k1[0] + 2.0 * (k2[0] + k3[0]) + k4[0])
@@ -219,24 +221,24 @@ def _step_update(state, scal, disk_enabled: bool, adaptive: bool = False):
                 out.append(acc)
             return out
 
-        k1 = _rhs(r, th, pr, pth, L, M, a)
+        k1 = _rhs(r, th, pr, pth, L, M, a, Q)
         s2 = comb((sp._B21, k1))
         k2 = _rhs(r + h * s2[0], th + h * s2[1],
-                  pr + h * s2[3], pth + h * s2[4], L, M, a)
+                  pr + h * s2[3], pth + h * s2[4], L, M, a, Q)
         s3 = comb((sp._B31, k1), (sp._B32, k2))
         k3 = _rhs(r + h * s3[0], th + h * s3[1],
-                  pr + h * s3[3], pth + h * s3[4], L, M, a)
+                  pr + h * s3[3], pth + h * s3[4], L, M, a, Q)
         s4 = comb((sp._B41, k1), (sp._B42, k2), (sp._B43, k3))
         k4 = _rhs(r + h * s4[0], th + h * s4[1],
-                  pr + h * s4[3], pth + h * s4[4], L, M, a)
+                  pr + h * s4[3], pth + h * s4[4], L, M, a, Q)
         s5 = comb((sp._B51, k1), (sp._B52, k2), (sp._B53, k3),
                   (sp._B54, k4))
         k5 = _rhs(r + h * s5[0], th + h * s5[1],
-                  pr + h * s5[3], pth + h * s5[4], L, M, a)
+                  pr + h * s5[3], pth + h * s5[4], L, M, a, Q)
         s6 = comb((sp._B61, k1), (sp._B62, k2), (sp._B63, k3),
                   (sp._B64, k4), (sp._B65, k5))
         k6 = _rhs(r + h * s6[0], th + h * s6[1],
-                  pr + h * s6[3], pth + h * s6[4], L, M, a)
+                  pr + h * s6[3], pth + h * s6[4], L, M, a, Q)
 
         y4 = comb((sp._C[0], k1), (sp._C[2], k3), (sp._C[3], k4),
                   (sp._C[4], k5))
@@ -408,7 +410,7 @@ def _make_kernel(disk_enabled: bool, max_steps: int, adaptive: bool,
         scal = tuple(scal_ref[k] for k in range(_N_SCAL_PLANES)) + (
             inp_ref[0, 5],  # L (per-ray constant)
         )
-        state0 = _load_init(inp_ref, 0, scal[2])  # h0 = time_step
+        state0 = _load_init(inp_ref, 0, scal[3])  # h0 = time_step
 
         def cond(carry):
             # Mosaic cannot lower a vector->scalar reduction inside the
@@ -452,8 +454,8 @@ def _make_kernel_jvp(disk_enabled: bool, max_steps: int, adaptive: bool,
         dscal = tuple(dscal_ref[k] for k in range(_N_SCAL_PLANES)) + (
             dinp_ref[0, 5],
         )
-        state0 = _load_init(inp_ref, 0, scal[2])
-        dstate0 = _load_init(dinp_ref, 0, dscal[2])
+        state0 = _load_init(inp_ref, 0, scal[3])
+        dstate0 = _load_init(dinp_ref, 0, dscal[3])
         # Tangents of (dist, steps, result) start at exact zero; the
         # _load_init trick put result0 = ACTIVE into slot 10 of the
         # tangent tuple, so rebuild those three slots from dinp zeros.
@@ -514,11 +516,11 @@ def _make_kernel_jvp_multi(disk_enabled: bool, max_steps: int,
             + (dinp_refs[t][0, 5],)
             for t in range(n_tan)
         ]
-        state0 = _load_init(inp_ref, 0, scal[2])
+        state0 = _load_init(inp_ref, 0, scal[3])
         n_state = len(state0)
         dstates0 = []
         for t in range(n_tan):
-            ds = _load_init(dinp_refs[t], 0, dscals[t][2])
+            ds = _load_init(dinp_refs[t], 0, dscals[t][3])
             dzero = dinp_refs[t][0, 0] * 0.0
             # Slots 8..10 (dist, steps, result) start at exact zero
             # (same fix-up as _make_kernel_jvp).
@@ -605,7 +607,8 @@ def _get_multi_core(disk_on: bool, max_steps: int, adaptive: bool,
 
 
 def trace_rays_pallas_fwdgrad(origins, directions, scene: Scene,
-                              tangents, interpret: bool = False):
+                              tangents, interpret: bool = False,
+                              order=None):
     """One kernel pass propagating several tangent directions.
 
     tangents: sequence of either Scene-tangent pytrees, or
@@ -615,6 +618,9 @@ def trace_rays_pallas_fwdgrad(origins, directions, scene: Scene,
     grad.fast_grad.scene_value_and_grad / render_value_and_grad, which
     turn these into d(loss)/d(params) for ~1.5x the cost of the plain
     forward instead of n_params * jvp-kernel calls.
+
+    order: optional depth-sort permutation (see trace_rays_pallas);
+    applied identically to primal rays and ray tangents.
     """
     adaptive = _check_integrator(scene)
     batch_shape = origins.shape[:-1]
@@ -625,8 +631,12 @@ def trace_rays_pallas_fwdgrad(origins, directions, scene: Scene,
     def pre(s, o_, d_):
         return _prepare(o_, d_, s, rows)
 
-    o32 = jnp.asarray(origins, jnp.float32)
-    d32 = jnp.asarray(directions, jnp.float32)
+    o32 = jnp.asarray(origins, jnp.float32).reshape(-1, 3)
+    d32 = jnp.asarray(directions, jnp.float32).reshape(-1, 3)
+    inv_order = None
+    if order is not None:
+        o32, d32 = o32[order], d32[order]
+        inv_order = jnp.argsort(order)
     scal, inp = pre(scene, o32, d32)
     dscals, dinps = [], []
     scene_tangents = []
@@ -635,8 +645,10 @@ def trace_rays_pallas_fwdgrad(origins, directions, scene: Scene,
             ds, do, dd = tan
         else:
             ds, do, dd = tan, jnp.zeros_like(o32), jnp.zeros_like(d32)
-        do = jnp.asarray(do, jnp.float32)
-        dd = jnp.asarray(dd, jnp.float32)
+        do = jnp.asarray(do, jnp.float32).reshape(-1, 3)
+        dd = jnp.asarray(dd, jnp.float32).reshape(-1, 3)
+        if order is not None and do.shape[0] == n:
+            do, dd = do[order], dd[order]
         scene_tangents.append(ds)
         _, (dscal, dinp) = jax.jvp(
             pre, (scene, o32, d32), (ds, do, dd)
@@ -651,7 +663,7 @@ def trace_rays_pallas_fwdgrad(origins, directions, scene: Scene,
     out, douts = core(scal, tuple(dscals), inp, tuple(dinps))
 
     def post(out_, s):
-        return _postprocess(out_, n, batch_shape, s)
+        return _postprocess(out_, n, batch_shape, s, inv_order)
 
     hit = post(out, scene)
     dhits = []
@@ -762,6 +774,23 @@ def _check_integrator(scene: Scene) -> bool:
     return scene.config.integrator == Integrator.RKF45
 
 
+# --- depth-sorted tiling -------------------------------------------------
+#
+# The kernel early-exits per TILE: a tile's while_loop runs max(steps of
+# its rays) iterations.  In raster order, tiles straddling the shadow
+# edge mix ~1000-step near-critical rays with ~100-step rays, so almost
+# every tile near the hole pays the worst-case budget.  Passing `order`
+# (a permutation grouping rays of similar integration depth — see
+# image.predicted_depth_order for the prepass-based key) re-tiles the
+# batch so total loop iterations drop toward sum(steps)/TILE; measured
+# on the bench scene, the step-count oracle bounds the gain at 1.52x
+# and the 128^2-prepass key realizes 1.39x (tools/measure_sort_gain2.py).
+# Per-ray arithmetic is mask-based and independent of lane position, so
+# ordered and raster traces are bitwise identical after un-permuting.
+# The reference has no analog (its CPU loop early-exits per ray; its
+# GPU kernel has no early exit at all, ray_tracer.comp:323-548).
+
+
 def _prepare(origins, directions, scene: Scene, rows: int = TILE_ROWS):
     """Differentiable pre-kernel stage: flatten/pad rays, exact null
     init, pack the (grid, 12, rows, 128) input planes and the
@@ -772,8 +801,11 @@ def _prepare(origins, directions, scene: Scene, rows: int = TILE_ROWS):
     n = o.shape[0]
     n_pad = -n % tile
     if n_pad:
-        o = jnp.concatenate([o, jnp.broadcast_to(o[:1], (n_pad, 3))], 0)
-        d = jnp.concatenate([d, jnp.broadcast_to(d[:1], (n_pad, 3))], 0)
+        # Pad with the LAST ray: under depth-sorted ordering that is the
+        # shallowest ray of the batch, so the padding lanes retire first
+        # instead of dragging the final tile to the deepest ray's budget.
+        o = jnp.concatenate([o, jnp.broadcast_to(o[-1:], (n_pad, 3))], 0)
+        d = jnp.concatenate([d, jnp.broadcast_to(d[-1:], (n_pad, 3))], 0)
     n_total = n + n_pad
     grid = n_total // tile
 
@@ -783,7 +815,7 @@ def _prepare(origins, directions, scene: Scene, rows: int = TILE_ROWS):
 
     # Ray initialization (exact, autodiff-based) outside the kernel.
     y, _, L, _ = geodesic.init_null_rays(
-        o, coords.normalize(d), bh.mass, bh.a
+        o, coords.normalize(d), bh.mass, bh.a, bh.charge
     )
     ld = coords.normalize(d)
     comps = jnp.stack(
@@ -800,8 +832,8 @@ def _prepare(origins, directions, scene: Scene, rows: int = TILE_ROWS):
     r_capture = HORIZON_CAPTURE_FACTOR * bh.r_plus
     scal = jnp.stack(
         [
-            bh.mass, bh.a, cfg.time_step, cfg.max_ray_distance,
-            r_capture,
+            bh.mass, bh.a, bh.charge, cfg.time_step,
+            cfg.max_ray_distance, r_capture,
             disk.inner_radius, disk.outer_radius,
             jnp.sin(disk.inclination), jnp.cos(disk.inclination),
             jnp.maximum(cfg.tolerance, 1e-12),
@@ -814,10 +846,16 @@ def _prepare(origins, directions, scene: Scene, rows: int = TILE_ROWS):
     return scal, inp
 
 
-def _postprocess(out, n: int, batch_shape, scene: Scene) -> Hit:
-    """Differentiable post-kernel stage: output planes -> shaded Hit."""
+def _postprocess(out, n: int, batch_shape, scene: Scene,
+                 inv_order=None) -> Hit:
+    """Differentiable post-kernel stage: output planes -> shaded Hit.
+
+    inv_order: optional (n,) int permutation restoring the caller's ray
+    order when the kernel ran on a depth-sorted batch."""
     n_total = out.shape[0] * out.shape[2] * out.shape[3]
     flat = out.transpose(1, 0, 2, 3).reshape(12, n_total)[:, :n]
+    if inv_order is not None:
+        flat = flat[:, inv_order]
     result = jax.lax.stop_gradient(flat[0]).astype(jnp.int32)
     result = jnp.where(
         result == trace.ACTIVE, RayResult.MAX_STEPS, result
@@ -842,7 +880,7 @@ def _postprocess(out, n: int, batch_shape, scene: Scene) -> Hit:
 
 @partial(jax.jit, static_argnames=("interpret",))
 def trace_rays_pallas(origins, directions, scene: Scene,
-                      interpret: bool = False) -> Hit:
+                      interpret: bool = False, order=None) -> Hit:
     """Pallas-accelerated equivalent of trace.trace_rays (RK4 + RKF45).
 
     origins/directions: (..., 3) float32.  RK4 runs the fixed-step
@@ -853,15 +891,25 @@ def trace_rays_pallas(origins, directions, scene: Scene,
     blackhole_tpu.grad.diff_trace.  For gradients w.r.t. several
     parameters at once, trace_rays_pallas_fwdgrad propagates all
     tangents in ONE kernel pass.
+
+    order: optional (n,) permutation of the flattened rays (deepest
+    first) for depth-sorted tiling — see image.predicted_depth_order.
+    The returned Hit is always in the caller's ray order.
     """
     adaptive = _check_integrator(scene)
     batch_shape = origins.shape[:-1]
     n = int(jnp.asarray(origins).reshape(-1, 3).shape[0])
     rows = _rows_for(interpret)
-    scal, inp = _prepare(origins, directions, scene, rows)
+    o = jnp.asarray(origins, jnp.float32).reshape(-1, 3)
+    d = jnp.asarray(directions, jnp.float32).reshape(-1, 3)
+    inv_order = None
+    if order is not None:
+        o, d = o[order], d[order]
+        inv_order = jnp.argsort(order)
+    scal, inp = _prepare(o, d, scene, rows)
     core = _get_core(
         bool(scene.disk_enabled and scene.config.show_disk),
         int(scene.config.max_steps), adaptive, interpret, rows,
     )
     out = core(scal, inp)
-    return _postprocess(out, n, batch_shape, scene)
+    return _postprocess(out, n, batch_shape, scene, inv_order)

@@ -219,6 +219,78 @@ def test_pallas_multi_tangent_value_and_grad():
     )
 
 
+def test_pallas_depth_sorted_is_bitwise_identical():
+    """Depth-sorted tiling only regroups rays across tiles; per-ray math
+    is mask-based and lane-independent, so results must be BITWISE equal
+    to the raster-order trace after un-permuting."""
+    import jax
+
+    from blackhole_tpu.render import image as image_mod
+
+    scene, o, d = make_case(0.9, True, max_steps=150)
+    camera = Camera.create(
+        position=(0.0, -30.0, 8.0),
+        direction=(0.0, 30.0, -8.0),
+        up=(0.0, 0.0, 1.0),
+        fov_deg=25.0,
+    )
+    order = image_mod.predicted_depth_order(
+        scene, camera, 32, 32, block=4, interpret=True
+    )
+    perm = np.asarray(order)
+    assert sorted(perm.tolist()) == list(range(1024))  # valid permutation
+    hit_raster = pallas_kernel.trace_rays_pallas(o, d, scene,
+                                                 interpret=True)
+    hit_sorted = pallas_kernel.trace_rays_pallas(o, d, scene,
+                                                 interpret=True,
+                                                 order=order)
+    for leaf_r, leaf_s in zip(
+        jax.tree_util.tree_leaves(hit_raster),
+        jax.tree_util.tree_leaves(hit_sorted),
+    ):
+        np.testing.assert_array_equal(np.asarray(leaf_r),
+                                      np.asarray(leaf_s))
+
+
+def test_pallas_depth_sorted_fwdgrad_matches_unsorted():
+    """The multi-tangent kernel under a depth-sort permutation must
+    return the same hit AND tangents as the unsorted call."""
+    import dataclasses
+
+    import jax
+
+    from blackhole_tpu.grad import fast_grad
+
+    scene, o, d = make_case(0.9, True, max_steps=120)
+    o, d = o[:512], d[:512]
+
+    def scene_fn(p):
+        return dataclasses.replace(
+            scene,
+            blackhole=dataclasses.replace(
+                scene.blackhole, mass=p["mass"], spin=p["spin"]
+            ),
+        )
+
+    def loss_of_hit(hit):
+        return jnp.sum(hit.color) / hit.color.size
+
+    vg = fast_grad.scene_value_and_grad(loss_of_hit, scene_fn,
+                                        interpret=True)
+    p0 = {"mass": jnp.float32(1.0), "spin": jnp.float32(0.9)}
+    key = jax.random.PRNGKey(7)
+    order = jax.random.permutation(key, 512)
+    v1, g1 = vg(p0, o, d)
+    v2, g2 = vg(p0, o, d, order=order)
+    np.testing.assert_array_equal(np.float32(v1), np.float32(v2))
+    np.testing.assert_allclose(
+        float(g1["mass"]), float(g2["mass"]), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(g1["spin"]), float(g2["spin"]), rtol=1e-6
+    )
+
+
 def test_engine_fallback_to_xla_when_pallas_unavailable():
     """On a CPU backend a compiled (non-interpret) pallas call cannot
     lower; trace_rays_fast must degrade to the XLA path — the analog of
