@@ -128,8 +128,12 @@ def bh_calculate_orbital_velocity(context: BHContext, r: float) -> float:
 def bh_configure_black_hole(context: BHContext, mass, spin, charge=0.0
                             ) -> int:
     """Validated setter (blackhole_api.c:94-118): mass > 0,
-    0 <= spin <= 1."""
+    0 <= spin <= 1, and sub-extremal overall: (spin*M)^2 + Q^2 <= M^2
+    (the condition under which the reference's horizon discriminant
+    sqrt(M^2 - a^2 - Q^2) is real, spacetime.c:331-366)."""
     if mass <= 0.0 or not (0.0 <= spin <= 1.0):
+        return BHError.INVALID_PARAMETER
+    if (spin * mass) ** 2 + charge**2 > mass**2:
         return BHError.INVALID_PARAMETER
     context.blackhole = BlackHole.create(mass, spin, charge, dtype=context.dtype)
     return BHError.SUCCESS

@@ -120,7 +120,12 @@ def run_render(args):
     from blackhole_tpu.viz import io as viz_io
 
     context = api.bh_initialize()
-    api.bh_configure_black_hole(context, 1.0, args.spin, 0.0)
+    rc = api.bh_configure_black_hole(context, 1.0, args.spin, args.charge)
+    if rc != api.BHError.SUCCESS:
+        raise SystemExit(
+            f"invalid black hole: spin={args.spin} charge={args.charge} "
+            "(need (spin*M)^2 + Q^2 <= M^2)"
+        )
     api.bh_configure_accretion_disk(context, 6.0, 20.0, 1.0, 1.0)
     api.bh_configure_simulation(context, 0.1, 150.0, args.steps, 1e-6)
     camera = Camera.create(
@@ -249,6 +254,8 @@ def main(argv=None):
     pr.add_argument("--height", type=int, default=256)
     pr.add_argument("--spp", type=int, default=1)
     pr.add_argument("--spin", type=float, default=0.0)
+    pr.add_argument("--charge", type=float, default=0.0,
+                    help="Kerr-Newman charge Q (geometric units)")
     pr.add_argument("--steps", type=int, default=1000)
     pr.add_argument("--out", type=str, default="render.png")
     pf = sub.add_parser(

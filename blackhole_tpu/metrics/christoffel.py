@@ -20,18 +20,24 @@ import jax.numpy as jnp
 from blackhole_tpu.metrics import kerr
 
 
-def christoffel(r, theta, M, a):
+def christoffel(r, theta, M, a, Q=0.0):
     """Complete Christoffel symbols Gamma[mu, alpha, beta] at (r, theta).
 
     Returns a (4, 4, 4) array (scalar inputs; vmap for batches).
+    Q: Kerr-Newman charge — the autodiff construction covers the whole
+    metric family for free.
     """
     # d g / d r and d g / d theta via forward-mode autodiff (exact).
-    dg_dr = jax.jacfwd(lambda rr: kerr.metric_matrix(rr, theta, M, a))(r)
-    dg_dth = jax.jacfwd(lambda th: kerr.metric_matrix(r, th, M, a))(theta)
+    dg_dr = jax.jacfwd(
+        lambda rr: kerr.metric_matrix(rr, theta, M, a, Q)
+    )(r)
+    dg_dth = jax.jacfwd(
+        lambda th: kerr.metric_matrix(r, th, M, a, Q)
+    )(theta)
     zeros = jnp.zeros_like(dg_dr)
     # partial[c, a, b] = d_c g_{ab}; only c=r(1), theta(2) nonzero.
     partial = jnp.stack([zeros, dg_dr, dg_dth, zeros], axis=0)
-    ginv = kerr.inverse_metric_matrix(r, theta, M, a)
+    ginv = kerr.inverse_metric_matrix(r, theta, M, a, Q)
     # Gamma^mu_ab = 1/2 g^{mu nu} (partial[a, nu, b] + partial[b, nu, a]
     #                              - partial[nu, a, b])
     term = (
@@ -42,14 +48,14 @@ def christoffel(r, theta, M, a):
     return 0.5 * jnp.einsum("mn,nab->mab", ginv, term)
 
 
-def geodesic_acceleration(position, velocity, M, a):
+def geodesic_acceleration(position, velocity, M, a, Q=0.0):
     """a^mu = -Gamma^mu_ab v^a v^b (spacetime.c:166-187, 624-655).
 
     position: (4,) = (t, r, theta, phi); velocity: (4,) coordinate
-    4-velocity.  Complete for Kerr, unlike the reference which zeroes the
-    Kerr accelerations in its CPU ray path (raytracer.c:131-138).
+    4-velocity.  Complete for Kerr(-Newman), unlike the reference which
+    zeroes the Kerr accelerations in its CPU ray path (raytracer.c:131-138).
     """
-    gamma = christoffel(position[1], position[2], M, a)
+    gamma = christoffel(position[1], position[2], M, a, Q)
     return -jnp.einsum("mab,a,b->m", gamma, velocity, velocity)
 
 

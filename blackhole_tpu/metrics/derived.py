@@ -90,9 +90,25 @@ def effective_potential(r, l, M, a_over_M=0.0):
     return jnp.where(a_over_M == 0.0, schw, kerr)
 
 
-def photon_sphere_radius(M):
-    """Schwarzschild photon sphere at r = 3M (closed form)."""
-    return 3.0 * M
+def photon_sphere_radius(M, charge=0.0):
+    """Photon sphere radius.
+
+    Schwarzschild: r = 3M.  Reissner-Nordstrom (a = 0, charge Q):
+    r_ph = (3M + sqrt(9 M^2 - 8 Q^2)) / 2 — the larger root of
+    2 f(r) = r f'(r) with f = 1 - 2M/r + Q^2/r^2.
+    """
+    disc = jnp.sqrt(jnp.maximum(9.0 * M * M - 8.0 * charge * charge, 0.0))
+    return 0.5 * (3.0 * M + disc)
+
+
+def rn_critical_impact_parameter(M, charge=0.0):
+    """Critical impact parameter of a Reissner-Nordstrom hole:
+    b_crit = r_ph / sqrt(f(r_ph)), f = 1 - 2M/r + Q^2/r^2.  Reduces to
+    sqrt(27) M at Q = 0 — the analytic capture/escape oracle for charged
+    shadow tests (the charged analog of shadow_radius)."""
+    r_ph = photon_sphere_radius(M, charge)
+    f = 1.0 - 2.0 * M / r_ph + (charge * charge) / (r_ph * r_ph)
+    return r_ph / jnp.sqrt(jnp.maximum(f, EPSILON))
 
 
 def shadow_radius(M, a_over_M=0.0):

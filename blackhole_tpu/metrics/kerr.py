@@ -1,10 +1,14 @@
-"""Kerr metric in Boyer-Lindquist coordinates.
+"""Kerr-Newman metric family in Boyer-Lindquist coordinates.
 
 TPU-native equivalent of /root/reference/src/spacetime.c:38-69 (metric),
 :429-468 (inverse).  Closed-form components as pure scalar functions of
-(r, theta); broadcastable and differentiable.  Schwarzschild is the a=0
-special case and shares this code path (the reference keeps two separate
-structs; here one family suffices and XLA constant-folds a=0).
+(r, theta); broadcastable and differentiable.  One code path covers the
+whole family: Schwarzschild (a=0, Q=0), Kerr (Q=0), Reissner-Nordstrom
+(a=0), and Kerr-Newman — the charge generalization is Delta += Q^2 and
+2Mr -> 2Mr - Q^2 in every mass term.  The reference only uses charge in
+its horizon formula (spacetime.c:331-366, sqrt(M^2-a^2-Q^2)) and traces
+rays in uncharged metrics; here charged spacetimes are first-class
+(XLA constant-folds a=0 / Q=0 back to the cheaper special cases).
 
 Component convention (t, r, theta, phi).  Nonzero entries:
     g_tt, g_tphi (= g_phit), g_rr, g_thth, g_phph.
@@ -39,45 +43,49 @@ class InverseMetric(NamedTuple):
     g_phph: jnp.ndarray
 
 
-def sigma_delta(r, theta, M, a):
-    """Sigma = r^2 + a^2 cos^2(theta),  Delta = r^2 - 2 M r + a^2."""
+def sigma_delta(r, theta, M, a, Q=0.0):
+    """Sigma = r^2 + a^2 cos^2(theta),
+    Delta = r^2 - 2 M r + a^2 + Q^2 (Kerr-Newman)."""
     ct = jnp.cos(theta)
     sigma = r * r + a * a * ct * ct
-    delta = r * r - 2.0 * M * r + a * a
+    delta = r * r - 2.0 * M * r + a * a + Q * Q
     return sigma, delta
 
 
-def metric(r, theta, M, a):
-    """Covariant Kerr metric components (spacetime.c:38-69, :377-418)."""
+def metric(r, theta, M, a, Q=0.0):
+    """Covariant Kerr-Newman metric components (spacetime.c:38-69,
+    :377-418 for the Kerr case).  tm = 2 M r - Q^2 is the charged
+    generalization of every 2 M r mass term."""
     st = jnp.sin(theta)
     st2 = st * st
-    sigma, delta = sigma_delta(r, theta, M, a)
-    two_mr = 2.0 * M * r
-    g_tt = -(1.0 - two_mr / sigma)
-    g_tphi = -two_mr * a * st2 / sigma
+    sigma, delta = sigma_delta(r, theta, M, a, Q)
+    tm = 2.0 * M * r - Q * Q
+    g_tt = -(1.0 - tm / sigma)
+    g_tphi = -tm * a * st2 / sigma
     g_rr = sigma / delta
     g_thth = sigma
-    g_phph = (r * r + a * a + two_mr * a * a * st2 / sigma) * st2
+    g_phph = (r * r + a * a + tm * a * a * st2 / sigma) * st2
     return Metric(g_tt, g_tphi, g_rr, g_thth, g_phph)
 
 
-def inverse_metric(r, theta, M, a):
-    """Contravariant Kerr metric components (spacetime.c:429-468).
+def inverse_metric(r, theta, M, a, Q=0.0):
+    """Contravariant Kerr-Newman metric components (spacetime.c:429-468
+    for the Kerr case).  With tm = 2 M r - Q^2:
 
     g^tt   = -A / (Sigma Delta)      with A = (r^2+a^2)^2 - Delta a^2 sin^2
-    g^tphi = -2 M r a / (Sigma Delta)
+    g^tphi = -tm a / (Sigma Delta)
     g^rr   = Delta / Sigma
     g^thth = 1 / Sigma
     g^phph = (Delta - a^2 sin^2) / (Sigma Delta sin^2)
     """
     st = jnp.sin(theta)
     st2 = st * st
-    sigma, delta = sigma_delta(r, theta, M, a)
+    sigma, delta = sigma_delta(r, theta, M, a, Q)
     r2a2 = r * r + a * a
     A = r2a2 * r2a2 - delta * a * a * st2
     inv_sd = 1.0 / (sigma * delta)
     g_tt = -A * inv_sd
-    g_tphi = -2.0 * M * r * a * inv_sd
+    g_tphi = -(2.0 * M * r - Q * Q) * a * inv_sd
     g_rr = delta / sigma
     g_thth = 1.0 / sigma
     st2_safe = jnp.maximum(st2, EPSILON)
@@ -85,10 +93,10 @@ def inverse_metric(r, theta, M, a):
     return InverseMetric(g_tt, g_tphi, g_rr, g_thth, g_phph)
 
 
-def metric_matrix(r, theta, M, a):
+def metric_matrix(r, theta, M, a, Q=0.0):
     """Full 4x4 covariant metric as a (..., 4, 4) array (for autodiff
     Christoffels and generic tensor algebra)."""
-    g = metric(r, theta, M, a)
+    g = metric(r, theta, M, a, Q)
     zeros = jnp.zeros_like(g.g_tt)
     row_t = jnp.stack([g.g_tt, zeros, zeros, g.g_tphi], axis=-1)
     row_r = jnp.stack([zeros, g.g_rr, zeros, zeros], axis=-1)
@@ -97,9 +105,9 @@ def metric_matrix(r, theta, M, a):
     return jnp.stack([row_t, row_r, row_th, row_ph], axis=-2)
 
 
-def inverse_metric_matrix(r, theta, M, a):
+def inverse_metric_matrix(r, theta, M, a, Q=0.0):
     """Full 4x4 contravariant metric as a (..., 4, 4) array."""
-    g = inverse_metric(r, theta, M, a)
+    g = inverse_metric(r, theta, M, a, Q)
     zeros = jnp.zeros_like(g.g_tt)
     row_t = jnp.stack([g.g_tt, zeros, zeros, g.g_tphi], axis=-1)
     row_r = jnp.stack([zeros, g.g_rr, zeros, zeros], axis=-1)

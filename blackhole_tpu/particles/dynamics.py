@@ -27,7 +27,7 @@ from blackhole_tpu.metrics import derived, kerr
 from blackhole_tpu.particles.system import ParticleSystem, ParticleType
 
 
-def _timelike_init(position, velocity, M, a):
+def _timelike_init(position, velocity, M, a, Q=0.0):
     """Build (r, theta, phi, p_r, p_theta, E, L) for a massive particle
     from cartesian position + coordinate 3-velocity.
 
@@ -42,7 +42,7 @@ def _timelike_init(position, velocity, M, a):
     _, dbl = jax.jvp(bl_map, (position,), (velocity,))
     dr, dtheta, dphi = dbl[..., 0], dbl[..., 1], dbl[..., 2]
 
-    g = kerr.metric(r, theta, M, a)
+    g = kerr.metric(r, theta, M, a, Q)
     S = g.g_rr * dr**2 + g.g_thth * dtheta**2 + g.g_phph * dphi**2
     # g_tt dt^2 + 2 g_tphi dt dphi + S = -1
     disc = jnp.maximum(
@@ -56,7 +56,7 @@ def _timelike_init(position, velocity, M, a):
     return bl, jnp.stack([p_r, p_theta], -1), E, L
 
 
-def _timelike_rhs(y, E, L, M, a):
+def _timelike_rhs(y, E, L, M, a, Q=0.0):
     """Hamiltonian flow for massive particles; state
     y = (r, theta, phi, p_r, p_theta).  Identical force terms as the
     photon path (the mass term is constant and drops out of dH/dx)."""
@@ -64,24 +64,26 @@ def _timelike_rhs(y, E, L, M, a):
 
     r, theta = y[..., 0], y[..., 1]
     p_r, p_theta = y[..., 3], y[..., 4]
-    gi = kerr.inverse_metric(r, theta, M, a)
+    gi = kerr.inverse_metric(r, theta, M, a, Q)
     dr = gi.g_rr * p_r
     dtheta = gi.g_thth * p_theta
     dphi = -gi.g_tphi * E + gi.g_phph * L
-    dpr = -geodesic._dH_dr_batched(r, theta, p_r, p_theta, E, L, M, a)
-    dpth = -geodesic._dH_dtheta_batched(r, theta, p_r, p_theta, E, L, M, a)
+    dpr = -geodesic._dH_dr_batched(r, theta, p_r, p_theta, E, L, M, a, Q)
+    dpth = -geodesic._dH_dtheta_batched(
+        r, theta, p_r, p_theta, E, L, M, a, Q
+    )
     return jnp.stack([dr, dtheta, dphi, dpr, dpth], axis=-1)
 
 
-def geodesic_update(position, velocity, dt, M, a):
+def geodesic_update(position, velocity, dt, M, a, Q=0.0):
     """One RK4 proper-time step of the timelike geodesic; returns new
     cartesian (position, velocity).  Replaces the reference's Euler step
     with approximate Jacobians (particle_sim.c:232-301)."""
-    bl, p, E, L = _timelike_init(position, velocity, M, a)
+    bl, p, E, L = _timelike_init(position, velocity, M, a, Q)
     y = jnp.concatenate([bl, p], axis=-1)
 
     def f(y):
-        return _timelike_rhs(y, E, L, M, a)
+        return _timelike_rhs(y, E, L, M, a, Q)
 
     k1 = f(y)
     k2 = f(y + 0.5 * dt * k1)
@@ -129,7 +131,9 @@ def update_particles(system: ParticleSystem, blackhole, config
     r = jnp.linalg.norm(system.position, axis=-1)
     use_geo = (system.ptype == ParticleType.TEST) & (r < 20.0 * rs)
 
-    geo_pos, geo_vel = geodesic_update(system.position, system.velocity, dt, M, a)
+    geo_pos, geo_vel = geodesic_update(
+        system.position, system.velocity, dt, M, a, blackhole.charge
+    )
     newt_pos, newt_vel = newtonian_update(system.position, system.velocity, dt, M)
 
     new_pos = jnp.where(use_geo[..., None], geo_pos, newt_pos)

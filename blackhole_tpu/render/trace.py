@@ -84,9 +84,10 @@ def make_step_fn(scene: Scene):
     """Returns (rhs_step, adaptive) for the configured integrator."""
     M = scene.blackhole.mass
     a = scene.blackhole.a
+    Qc = scene.blackhole.charge
 
     def f(t, y, L):
-        return geodesic.rhs(y, 1.0, L, M, a)
+        return geodesic.rhs(y, 1.0, L, M, a, Qc)
 
     integ = scene.config.integrator
     if integ == Integrator.RK4:
@@ -109,14 +110,14 @@ def make_step_fn(scene: Scene):
             y = jnp.concatenate(
                 [x[..., :3], v[..., :2], x[..., 3:4]], axis=-1
             )
-            d = geodesic.rhs(y, 1.0, L, M, a)
+            d = geodesic.rhs(y, 1.0, L, M, a, Qc)
             return d[..., 3:5]
 
         def drift(x, v, h, L):
             y = jnp.concatenate(
                 [x[..., :3], v[..., :2], x[..., 3:4]], axis=-1
             )
-            d = geodesic.rhs(y, 1.0, L, M, a)
+            d = geodesic.rhs(y, 1.0, L, M, a, Qc)
             dx = jnp.concatenate([d[..., :3], d[..., 5:6]], axis=-1)
             return x + h * dx
 
@@ -282,7 +283,7 @@ def init_carry(origins, directions, scene: Scene) -> TraceCarry:
     """Build the initial trace carry from cartesian rays (flattened)."""
     bh = scene.blackhole
     y, _, L, _ = geodesic.init_null_rays(
-        origins, coords.normalize(directions), bh.mass, bh.a
+        origins, coords.normalize(directions), bh.mass, bh.a, bh.charge
     )
     n = y.shape[:-1]
     dtype = y.dtype

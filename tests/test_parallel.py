@@ -64,7 +64,10 @@ def test_sharded_grad_matches_single_device(mesh8):
     loss_s, grads_s = jax.value_and_grad(inverse.image_loss)(
         params, target, scene, camera, 16, 16
     )
-    np.testing.assert_allclose(float(loss_d), float(loss_s), rtol=1e-5)
+    # rtol: the psum tree reduction and the single-device sum associate
+    # differently; on an f32 loss of O(1e-7) that is ~1e-5 relative.
+    np.testing.assert_allclose(float(loss_d), float(loss_s), rtol=1e-4,
+                               atol=1e-11)
     for k in grads_s:
         np.testing.assert_allclose(
             np.asarray(grads_d[k]), np.asarray(grads_s[k]),
