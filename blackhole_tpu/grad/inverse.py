@@ -27,12 +27,27 @@ from blackhole_tpu.grad import diff_trace
 MAX_SPIN = 0.998  # Thorne limit; keeps Delta bounded away from 0.
 
 
+def _charge_budget(spin):
+    """Max Q/M compatible with sub-extremality at this spin:
+    spin^2 + (Q/M)^2 <= MAX_SPIN^2 (so Delta stays bounded from 0)."""
+    return jnp.sqrt(jnp.maximum(MAX_SPIN**2 - spin * spin, 1e-12))
+
+
 def pack_params(scene: Scene, camera: Camera) -> dict:
     """Scene/camera -> unconstrained optimization pytree."""
     bh, disk = scene.blackhole, scene.disk
+    spin = jnp.clip(bh.spin, 0.0, 0.999 * MAX_SPIN)
+    q_frac = bh.charge / jnp.maximum(bh.mass, 1e-12)
     return {
         "log_mass": jnp.log(bh.mass),
         "spin_raw": jnp.arctanh(jnp.clip(bh.spin / MAX_SPIN, 0.0, 0.999)),
+        # charge_raw parameterizes Q = M * budget(spin) * tanh(raw):
+        # optimizer steps can never leave the sub-extremal manifold
+        # even while spin moves.  The metric depends on Q^2 only, so the
+        # sign of the fitted charge is a gauge; |Q| is the observable.
+        "charge_raw": jnp.arctanh(
+            jnp.clip(q_frac / _charge_budget(spin), 0.0, 0.999)
+        ),
         "log_disk_inner": jnp.log(disk.inner_radius),
         "log_disk_width": jnp.log(disk.outer_radius - disk.inner_radius),
         "log_temp_scale": jnp.log(disk.temperature_scale),
@@ -46,10 +61,13 @@ def unpack_params(params: dict, template_scene: Scene,
     """Unconstrained pytree -> (Scene, Camera), other fields from templates."""
     mass = jnp.exp(params["log_mass"])
     spin = MAX_SPIN * jnp.tanh(params["spin_raw"])
+    charge = mass * _charge_budget(spin) * jnp.tanh(
+        params.get("charge_raw", jnp.zeros_like(spin))
+    )
     inner = jnp.exp(params["log_disk_inner"])
     outer = inner + jnp.exp(params["log_disk_width"])
     bh = dataclasses.replace(
-        template_scene.blackhole, mass=mass, spin=spin
+        template_scene.blackhole, mass=mass, spin=spin, charge=charge
     )
     disk = dataclasses.replace(
         template_scene.disk,

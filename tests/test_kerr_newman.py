@@ -243,6 +243,40 @@ def test_charge_gradient_through_kernel():
     )
 
 
+def test_inverse_recovers_charge():
+    """BASELINE config 5 extended to the charged family: recover Q from
+    a target image by forward-mode gradient descent through the kernel."""
+    from blackhole_tpu.geom.types import Camera
+    from blackhole_tpu.grad import diff_trace, inverse
+
+    true_scene = Scene(
+        blackhole=BlackHole.create(1.0, 0.0, 0.6),
+        disk=Disk.create(6.0, 20.0),
+        config=SimConfig.create(
+            time_step=0.1, max_ray_distance=80.0, max_steps=300,
+        ),
+        disk_enabled=True,
+    )
+    camera = Camera.create(
+        position=(0.0, -30.0, 8.0),
+        direction=(0.0, 30.0, -8.0),
+        up=(0.0, 0.0, 1.0),
+        fov_deg=25.0,
+    )
+    target = diff_trace.render_image_diff(true_scene, camera, 24, 24)
+    start = dataclasses.replace(
+        true_scene, blackhole=BlackHole.create(1.0, 0.0, 0.15)
+    )
+    fitted, _, losses = inverse.fit_forward(
+        target, start, camera, 24, 24, steps=40, learning_rate=5e-2,
+        optimize=("charge_raw",), interpret=True,
+    )
+    assert losses[-1] < 0.1 * losses[0], losses
+    np.testing.assert_allclose(
+        float(fitted.blackhole.charge), 0.6, atol=0.05
+    )
+
+
 def test_api_rejects_super_extremal_charge():
     from blackhole_tpu import api
 
