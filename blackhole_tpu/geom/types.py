@@ -230,12 +230,20 @@ class SimConfig:
 
 @struct.dataclass
 class Scene:
-    """Complete scene: black hole + optional disk + config."""
+    """Complete scene: black hole + optional disk + config.
+
+    env_map: optional (H, W, 3) equirect sky panorama; escaped rays
+    sample it along their final (gravitationally deflected) direction
+    instead of the procedural gradient — true lensed backgrounds,
+    where the reference fakes them with a screen-space warp
+    (renderer.cpp:1491-1689).
+    """
 
     blackhole: BlackHole
     disk: Disk
     config: SimConfig
     disk_enabled: bool = struct.field(pytree_node=False, default=True)
+    env_map: Any = None
 
 
 @struct.dataclass

@@ -174,6 +174,51 @@ def sky_color(direction):
     return jnp.stack([r, g, b], axis=-1)
 
 
+def sample_environment(direction, env_map):
+    """Equirectangular environment lookup for escaped rays — the
+    gravitationally-lensed background capability (the reference fakes
+    lensing of its starfield with a 2D screen-space warp,
+    renderer.cpp:1491-1689 + effects shaders; here the true deflected
+    ray direction indexes a sky texture).
+
+    direction: (..., 3); env_map: (H, W, 3) equirect panorama with the
+    z axis (the black hole's spin axis / disk normal) as the pole:
+    u = azimuth atan2(y, x) mapped to [0, W), v = polar angle
+    arccos(z) mapped to [0, H).  Bilinear filtering, wrap in u, clamp
+    in v.  Differentiable w.r.t. both direction and texels.
+    """
+    h, w = env_map.shape[-3], env_map.shape[-2]
+    d = coords.normalize(direction)
+    phi = jnp.arctan2(d[..., 1], d[..., 0])  # [-pi, pi)
+    theta = jnp.arccos(jnp.clip(d[..., 2], -1.0, 1.0))  # [0, pi]
+    u = (phi / (2.0 * jnp.pi) + 0.5) * w - 0.5
+    v = (theta / jnp.pi) * h - 0.5
+    u0 = jnp.floor(u)
+    v0 = jnp.floor(v)
+    fu = u - u0
+    fv = v - v0
+    iu0 = jnp.mod(u0.astype(jnp.int32), w)
+    iu1 = jnp.mod(iu0 + 1, w)
+    iv0 = jnp.clip(v0.astype(jnp.int32), 0, h - 1)
+    iv1 = jnp.clip(iv0 + 1, 0, h - 1)
+
+    def tex(iv, iu):
+        return env_map[iv, iu]
+
+    c00 = tex(iv0, iu0)
+    c01 = tex(iv0, iu1)
+    c10 = tex(iv1, iu0)
+    c11 = tex(iv1, iu1)
+    fu = fu[..., None]
+    fv = fv[..., None]
+    return (
+        c00 * (1.0 - fu) * (1.0 - fv)
+        + c01 * fu * (1.0 - fv)
+        + c10 * (1.0 - fu) * fv
+        + c11 * fu * fv
+    )
+
+
 def shade_disk_hit(hit_pos, photon_dir, blackhole, disk, config):
     """Full disk shading chain: temperature -> blackbody -> relativistic.
 

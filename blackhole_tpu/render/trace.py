@@ -320,7 +320,10 @@ def finalize(carry: TraceCarry, scene: Scene) -> Hit:
     disk_rgb, temp, doppler, grav = shading.shade_disk_hit(
         carry.hit_pos, carry.last_dir, bh, scene.disk, cfg
     )
-    sky_rgb = shading.sky_color(carry.last_dir)
+    if scene.env_map is not None:
+        sky_rgb = shading.sample_environment(carry.last_dir, scene.env_map)
+    else:
+        sky_rgb = shading.sky_color(carry.last_dir)
     black = jnp.zeros_like(sky_rgb)
     # Budget-exhausted rays that ended deep in the potential (inside
     # ~4M: between the photon sphere 3M and the ISCO) are trapped —

@@ -55,6 +55,35 @@ def starfield(height: int, width: int, density: float = 0.002,
     return jnp.stack([mono, mono, mono], axis=-1)
 
 
+def starfield_envmap(height: int = 512, width: int = 1024,
+                     density: float = 0.0015, seed: int = 0):
+    """Equirect starfield panorama for Scene.env_map: sparse stars with
+    hashed brightness and a slight blue-white temperature spread, plus a
+    faint band along the equator (a toy galactic plane).  Feed to
+    Scene(env_map=...) so escaped rays sample a TRUE gravitationally
+    lensed background — the physically-correct upgrade of the
+    reference's screen-space starfield + warp (renderer.cpp:1349-1378,
+    :1491-1689)."""
+    iy = jax.lax.broadcasted_iota(jnp.uint32, (height, width), 0)
+    ix = jax.lax.broadcasted_iota(jnp.uint32, (height, width), 1)
+    r1 = _hash01(ix, iy, seed)
+    r2 = _hash01(ix, iy, seed + 1)
+    r3 = _hash01(ix, iy, seed + 2)
+    star = (r1 < density).astype(jnp.float32)
+    brightness = (0.3 + 0.7 * r2) * star
+    # Temperature tint: hot stars slightly blue, cool slightly warm.
+    tint_b = 0.85 + 0.3 * r3
+    tint_r = 1.15 - 0.3 * r3
+    rgb = jnp.stack(
+        [brightness * tint_r, brightness, brightness * tint_b], axis=-1
+    )
+    # Faint diffuse band around the equator (v = height/2).
+    v = (jnp.arange(height, dtype=jnp.float32) + 0.5) / height
+    band = 0.06 * jnp.exp(-(((v - 0.5) / 0.08) ** 2))
+    rgb = rgb + band[:, None, None] * jnp.array([0.5, 0.55, 0.7])
+    return jnp.clip(rgb, 0.0, 1.0)
+
+
 def lensing_warp(image, center=(0.0, 0.0), strength: float = 0.15,
                  radius: float = 0.35):
     """Screen-space gravitational-lensing distortion: pixels near the
