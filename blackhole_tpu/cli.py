@@ -134,8 +134,17 @@ def run_render(args):
         up=(0.0, 0.0, 1.0),
         fov_deg=22.0,
     )
+    scene = context.scene()
+    if args.starfield:
+        import dataclasses
+
+        from blackhole_tpu.viz import effects
+
+        scene = dataclasses.replace(
+            scene, env_map=effects.starfield_envmap(512, 1024, seed=7)
+        )
     img = image_mod.render_image(
-        context.scene(), camera, width=args.width, height=args.height,
+        scene, camera, width=args.width, height=args.height,
         spp=args.spp,
     )
     viz_io.write_image(args.out, np.asarray(img))
@@ -257,6 +266,9 @@ def main(argv=None):
     pr.add_argument("--charge", type=float, default=0.0,
                     help="Kerr-Newman charge Q (geometric units)")
     pr.add_argument("--steps", type=int, default=1000)
+    pr.add_argument("--starfield", action="store_true",
+                    help="lensed starfield env map instead of the "
+                         "gradient sky")
     pr.add_argument("--out", type=str, default="render.png")
     pf = sub.add_parser(
         "fit", help="inverse rendering: recover mass/spin from an image"

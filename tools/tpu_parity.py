@@ -33,7 +33,7 @@ import dataclasses
 import numpy as np
 
 
-def _case(spin, disk_enabled, integrator, max_steps=250):
+def _case(spin, disk_enabled, integrator, max_steps=250, charge=0.0):
     import jax.numpy as jnp
 
     from blackhole_tpu.geom.types import (
@@ -42,7 +42,7 @@ def _case(spin, disk_enabled, integrator, max_steps=250):
     from blackhole_tpu.render import camera as cam
 
     scene = Scene(
-        blackhole=BlackHole.create(1.0, spin),
+        blackhole=BlackHole.create(1.0, spin, charge),
         disk=Disk.create(6.0, 20.0),
         config=SimConfig.create(
             time_step=0.1, max_ray_distance=80.0, max_steps=max_steps,
@@ -60,12 +60,12 @@ def _case(spin, disk_enabled, integrator, max_steps=250):
     return scene, o.reshape(-1, 3), d.reshape(-1, 3)
 
 
-def check_forward(spin, disk, integrator):
+def check_forward(spin, disk, integrator, charge=0.0):
     """Compiled kernel vs XLA path; returns a stats dict, raises on fail."""
     from blackhole_tpu.geom.types import Integrator
     from blackhole_tpu.render import pallas_kernel, trace
 
-    scene, o, d = _case(spin, disk, integrator)
+    scene, o, d = _case(spin, disk, integrator, charge=charge)
     hit_ref = trace.trace_rays(o, d, scene)
     hit_pal = pallas_kernel.trace_rays_pallas(o, d, scene)
     from blackhole_tpu.geom.types import RayResult
@@ -85,6 +85,7 @@ def check_forward(spin, disk, integrator):
         "integrator": integrator,
         "spin": spin,
         "disk": disk,
+        "charge": charge,
         "n_rays": int(res_ref.size),
         "result_mismatch": int(np.sum(~agree)),
         "color_mean": float(dc_agree.mean()),
@@ -148,16 +149,46 @@ def check_jvp(spin=0.9, disk=True):
     return stats
 
 
+def check_depth_sorted():
+    """Depth-sorted tiling must be BITWISE identical to raster order on
+    the compiled TPU kernel (per-ray math is lane-independent)."""
+    import jax
+    import jax.numpy as jnp
+
+    from blackhole_tpu.geom.types import Integrator
+    from blackhole_tpu.render import pallas_kernel
+
+    scene, o, d = _case(0.9, True, Integrator.RK4)
+    key = jax.random.PRNGKey(11)
+    order = jax.random.permutation(key, o.shape[0]).astype(jnp.int32)
+    hit_r = pallas_kernel.trace_rays_pallas(o, d, scene)
+    hit_s = pallas_kernel.trace_rays_pallas(o, d, scene, order=order)
+    mism = 0
+    for lr, ls in zip(
+        jax.tree_util.tree_leaves(hit_r), jax.tree_util.tree_leaves(hit_s)
+    ):
+        mism += int(np.sum(np.asarray(lr) != np.asarray(ls)))
+    stats = {"n_rays": int(o.shape[0]), "elementwise_mismatch": mism}
+    assert mism == 0, stats
+    return stats
+
+
 def run_parity_checks():
     """All compiled parity checks; returns a summary dict ('ok' plus
     per-check stats).  Raises AssertionError on any violation."""
     from blackhole_tpu.geom.types import Integrator
 
-    out = {"forward": [], "jvp": None, "ok": False}
+    out = {"forward": [], "jvp": None, "sorted": None, "ok": False}
     for integ in (Integrator.RK4, Integrator.RKF45):
         for spin, disk in ((0.0, True), (0.9, True), (0.9, False)):
             out["forward"].append(check_forward(spin, disk, integ))
+    # Kerr-Newman: charge rides a traced scal plane, so this reuses the
+    # compiled RK4 kernel — no extra compile cost.
+    out["forward"].append(
+        check_forward(0.6, True, Integrator.RK4, charge=0.5)
+    )
     out["jvp"] = check_jvp()
+    out["sorted"] = check_depth_sorted()
     out["ok"] = True
     return out
 
