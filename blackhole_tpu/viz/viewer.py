@@ -39,10 +39,12 @@ from blackhole_tpu.render import image as image_mod
 from blackhole_tpu.viz import animate
 
 HELP = """commands:
-  mass <v> | spin <v> | fov <v>      set parameter
+  mass <v> | spin <v> | charge <v>   set black hole parameter
+  fov <v>                            set field of view
   dist <v> | el <v> | az <v>         orbit camera (az/el accept +d/-d)
   steps <n>                          integration budget
   disk on|off                        toggle accretion disk
+  sky on|off                         lensed starfield background
   particles on|off                   live disk-particle overlay
   save <path.png>                    write current frame
   help | quit
@@ -55,9 +57,13 @@ class ViewerState:
 
     def __init__(self, mass=1.0, spin=0.5, fov=22.0, distance=35.0,
                  elevation=18.0, azimuth=0.0, steps=400, disk=True,
-                 particles=False, n_particles=600):
+                 particles=False, n_particles=600, charge=0.0,
+                 sky=False):
         self.mass = mass
         self.spin = spin
+        self.charge = charge
+        self.sky = sky
+        self._env = None
         self.fov = fov
         self.distance = distance
         self.elevation = elevation
@@ -68,8 +74,12 @@ class ViewerState:
         self.n_particles = n_particles
 
     def scene(self) -> Scene:
+        if self.sky and self._env is None:
+            from blackhole_tpu.viz import effects
+
+            self._env = effects.starfield_envmap(256, 512, seed=7)
         return Scene(
-            blackhole=BlackHole.create(self.mass, self.spin),
+            blackhole=BlackHole.create(self.mass, self.spin, self.charge),
             disk=Disk.create(6.0 * self.mass, 20.0 * self.mass),
             config=SimConfig.create(
                 time_step=0.1,
@@ -77,6 +87,7 @@ class ViewerState:
                 max_steps=self.steps,
             ),
             disk_enabled=self.disk,
+            env_map=self._env if self.sky else None,
         )
 
     def camera(self):
@@ -102,6 +113,9 @@ class ViewerState:
         if cmd == "particles" and len(parts) == 2:
             self.particles = parts[1].lower() in ("on", "1", "true")
             return "changed"
+        if cmd == "sky" and len(parts) == 2:
+            self.sky = parts[1].lower() in ("on", "1", "true")
+            return "changed"
         if len(parts) != 2:
             return f"error: bad command {line!r} (try: help)"
         try:
@@ -113,6 +127,11 @@ class ViewerState:
             self.mass = v
         elif cmd == "spin" and 0.0 <= v <= 0.998:
             self.spin = v
+        elif cmd == "charge":
+            # Sub-extremality: (spin*M)^2 + Q^2 <= M^2.
+            if (self.spin**2 + (v / max(self.mass, 1e-9)) ** 2) > 0.999:
+                return f"error: charge {v} super-extremal at spin {self.spin}"
+            self.charge = v
         elif cmd == "fov" and 1.0 <= v <= 120.0:
             self.fov = v
         elif cmd == "dist":

@@ -110,3 +110,24 @@ def test_viewer_state_commands():
     assert st.apply("disk off") == "changed" and st.disk is False
     assert st.apply("spin 1.5").startswith("error")
     assert st.apply("quit") == "quit"
+
+
+def test_viewer_charge_and_sky_commands():
+    st = viewer.ViewerState()
+    assert st.apply("charge 0.5") == "changed" and st.charge == 0.5
+    st.apply("spin 0.9")
+    assert st.apply("charge 0.9").startswith("error")  # super-extremal
+    assert st.apply("sky on") == "changed" and st.sky is True
+    scene = st.scene()
+    assert scene.env_map is not None
+    assert float(scene.blackhole.charge) == 0.5
+    assert st.apply("sky off") == "changed"
+    assert st.scene().env_map is None
+
+
+def test_viewer_runs_with_sky_and_charge():
+    st = viewer.ViewerState(steps=60, charge=0.4, sky=True)
+    stats = viewer.run(
+        st, width=24, height=16, max_frames=3, commands=[], draw=False
+    )
+    assert stats["frames"] == 3
