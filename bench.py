@@ -93,10 +93,10 @@ def main():
         os.environ.get("BENCH_SORT", "1") != "0" and platform == "tpu"
     )
 
-    def _order(s):
+    def _order(s, w=WIDTH, h=HEIGHT):
         if not use_sort:
             return None
-        return image_mod.predicted_depth_order(s, camera, WIDTH, HEIGHT)
+        return image_mod.predicted_depth_order(s, camera, w, h)
 
     @jax.jit
     def fwd(mass, o, d):
@@ -191,6 +191,36 @@ def main():
     spin = jnp.float32(0.9)
     t_fwdbwd = timeit(lambda m, o, d: fwdbwd(m, spin, o, d), o, d)
 
+    # BASELINE config 3: 512x512 RKF45 adaptive forward (the in-kernel
+    # embedded-pair path with per-ray step state).  BENCH_RKF45=0 skips.
+    rays_rkf45 = None
+    if os.environ.get("BENCH_RKF45", "1") != "0":
+        scene_ad = dataclasses.replace(
+            scene,
+            config=SimConfig.create(
+                time_step=0.1, max_ray_distance=150.0,
+                max_steps=MAX_STEPS, integrator="rkf45",
+                tolerance=1e-6,
+            ),
+        )
+        o5, d5 = cam.generate_rays(camera, 512, 512)
+        o5, d5 = o5.reshape(-1, 3), d5.reshape(-1, 3)
+
+        @jax.jit
+        def fwd_ad(mass, o_, d_):
+            s = dataclasses.replace(
+                scene_ad,
+                blackhole=dataclasses.replace(
+                    scene_ad.blackhole, mass=mass
+                ),
+            )
+            return image_mod.trace_rays_fast(
+                o_, d_, s, order=_order(s, 512, 512)
+            ).color
+
+        t_ad = timeit(fwd_ad, o5, d5)
+        rays_rkf45 = 512 * 512 / t_ad
+
     # Compiled-kernel parity record (tools/tpu_parity.py): every bench
     # run doubles as evidence that the compiled Mosaic kernels agree
     # with the XLA path on this backend.
@@ -219,6 +249,9 @@ def main():
                 "unit": "rays/s/chip",
                 "vs_baseline": round(rays_fwdbwd / _c_baseline(), 2),
                 "rays_per_s_fwd": round(rays_fwd, 1),
+                "rays_per_s_fwd_rkf45_512": (
+                    round(rays_rkf45, 1) if rays_rkf45 else None
+                ),
                 "grad_mode": grad_mode,
                 "compiled_parity": parity,
                 "platform": platform,
