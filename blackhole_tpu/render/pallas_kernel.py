@@ -316,6 +316,24 @@ def _step_update(state, scal, disk_enabled: bool, adaptive: bool = False):
         hy = jnp.where(disk_hit, py, hy)
         hz = jnp.where(disk_hit, pz, hz)
         dist_n = jnp.where(disk_hit, dist + frac * step_len, dist_n)
+        if adaptive:
+            # Disk-aware step clamp — identical formula to
+            # trace.trace_step (see the comment there): approaching
+            # rays inside the disk's radial band cap the next step at
+            # ~1.25x the estimated plane-crossing time so one step
+            # cannot enter AND exit the disk between samples.
+            dz = z_new - z_prev
+            approaching = z_new * dz < 0.0
+            lam_cross = h * jnp.abs(z_new) / jnp.maximum(
+                jnp.abs(dz), EPSILON
+            )
+            near = r_n < 1.5 * disk_outer
+            h_cap = jnp.maximum(1.25 * lam_cross, 0.05 * dt)
+            h_new = jnp.where(
+                active & approaching & near,
+                jnp.minimum(h_new, h_cap),
+                h_new,
+            )
 
     still = result == float(trace.ACTIVE)
 

@@ -231,6 +231,29 @@ def trace_step(carry: TraceCarry, scene: Scene, step_fn, adaptive: bool
         dist_new = jnp.where(
             disk_hit, carry.dist + frac * step_len, dist_new
         )
+        if adaptive:
+            # Disk-aware step clamp: an adaptive step many times the
+            # plane-crossing time can ENTER and EXIT the disk plane
+            # between two samples, leaving the endpoint signs equal —
+            # a sampling error the local truncation-error controller
+            # cannot see (it saturated the RKF45 image error at ~4e-4,
+            # CONVERGENCE.md).  When a ray inside the disk's radial
+            # band is approaching the plane, cap the next step at
+            # ~1.25x the estimated crossing time so each step crosses
+            # at most once.  dz/h from the step just taken estimates
+            # the approach rate; receding rays are never clamped.
+            dz = z_new - z_prev
+            approaching = z_new * dz < 0.0
+            lam_cross = h * jnp.abs(z_new) / jnp.maximum(
+                jnp.abs(dz), EPSILON
+            )
+            near = y_new[..., geodesic.IR] < 1.5 * disk.outer_radius
+            h_cap = jnp.maximum(1.25 * lam_cross, 0.05 * cfg.time_step)
+            h_new = jnp.where(
+                active & approaching & near,
+                jnp.minimum(h_new, h_cap),
+                h_new,
+            )
 
     still = result == ACTIVE
 

@@ -200,6 +200,45 @@ class TestIntegrators:
         assert res[0] == RayResult.HORIZON, (method, res)
         assert res[1] != RayResult.HORIZON, (method, res)
 
+    def test_rkf45_disk_clamp_image_quality(self):
+        """The disk-aware adaptive step clamp: without it, RKF45 steps
+        (up to 50x the base step) can enter AND exit the disk plane
+        between two samples, so crossings are silently skipped and the
+        image error saturates near 4e-4 regardless of tolerance
+        (CONVERGENCE.md, pre-clamp).  With the clamp the adaptive engine
+        must track a fine-step RK4 reference to < 1.5e-4 mean pixel
+        error — a level the unclamped integrator cannot reach."""
+        from blackhole_tpu.render import camera as cam_mod
+
+        size = 48  # 32^2 misses the double-crossing rays; 48^2 shows
+        # 3.8e-4 (unclamped) vs 5.0e-5 (clamped) under these settings.
+        scene_ref = make_scene(
+            spin=0.9, disk=True, time_step=0.05,
+            max_ray_distance=120.0, max_steps=2400,
+        )
+        scene_ad = make_scene(
+            spin=0.9, disk=True, time_step=0.1,
+            max_ray_distance=120.0, max_steps=3000,
+            integrator=Integrator.RKF45, tolerance=1e-8,
+        )
+        camera = Camera.create(
+            position=(0.0, -35.0, 12.0),
+            direction=(0.0, 35.0, -12.0),
+            up=(0.0, 0.0, 1.0),
+            fov_deg=22.0,
+            dtype=jnp.float64,
+        )
+        o, d = cam_mod.generate_rays(camera, size, size)
+        o, d = o.reshape(-1, 3), d.reshape(-1, 3)
+        ref = trace.trace_rays(o, d, scene_ref)
+        ad = trace.trace_rays(o, d, scene_ad)
+        err = float(jnp.mean(jnp.abs(ad.color - ref.color)))
+        assert err < 1.5e-4, f"adaptive image error {err:.2e}"
+        # The step-count advantage must survive the clamp.
+        assert float(jnp.mean(ad.steps)) < 0.25 * float(
+            jnp.mean(ref.steps)
+        )
+
     def test_rkf45_uses_fewer_steps_far_field(self):
         """Adaptive stepping must beat the fixed schedule on an easy
         escaping ray."""
