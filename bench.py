@@ -191,6 +191,15 @@ def main():
     spin = jnp.float32(0.9)
     t_fwdbwd = timeit(lambda m, o, d: fwdbwd(m, spin, o, d), o, d)
 
+    # Gradient health: the timed fwd+bwd's gradients must be finite
+    # (regression: before the per-step tangent guard, 21/1M rays' NaN
+    # tangents poisoned d/d(mass, spin) at exactly this workload).
+    import math
+
+    _, grads = fwdbwd(jnp.float32(1.0), spin, o, d)
+    grad_vals = [float(g) for g in jax.tree_util.tree_leaves(grads)]
+    grad_finite = all(math.isfinite(v) for v in grad_vals)
+
     # BASELINE config 3: 512x512 RKF45 adaptive forward (the in-kernel
     # embedded-pair path with per-ray step state).  BENCH_RKF45=0 skips.
     rays_rkf45 = None
@@ -220,6 +229,47 @@ def main():
 
         t_ad = timeit(fwd_ad, o5, d5)
         rays_rkf45 = 512 * 512 / t_ad
+
+    # Adaptive fwd+bwd at the headline size: the disk-aware clamped
+    # RKF45 kernel at tol 1e-6 is image-quality-equivalent to the
+    # RK4-1000 schedule (CONVERGENCE.md) at ~10x fewer steps, so this
+    # is the fast path for differentiable rendering at quality parity.
+    rays_rkf45_fwdbwd = None
+    if grad_mode == "fwd" and os.environ.get("BENCH_RKF45", "1") != "0":
+        from blackhole_tpu.grad import fast_grad as _fg
+
+        scene_ad_g = dataclasses.replace(
+            scene,
+            config=SimConfig.create(
+                time_step=0.1, max_ray_distance=150.0,
+                max_steps=MAX_STEPS, integrator="rkf45", tolerance=1e-6,
+            ),
+        )
+
+        def scene_fn_ad(params):
+            return dataclasses.replace(
+                scene_ad_g,
+                blackhole=dataclasses.replace(
+                    scene_ad_g.blackhole,
+                    mass=params["mass"], spin=params["spin"],
+                ),
+            )
+
+        _svg_ad = _fg.scene_value_and_grad(
+            lambda hit: jnp.sum(hit.color) / (3.0 * n_rays), scene_fn_ad
+        )
+
+        @jax.jit
+        def _vg_ad(params, o_flat, d_flat):
+            return _svg_ad(params, o_flat, d_flat,
+                           order=_order(scene_fn_ad(params)))
+
+        def fwdbwd_ad(mass, o, d):
+            return _vg_ad({"mass": mass, "spin": spin},
+                          o.reshape(-1, 3), d.reshape(-1, 3))
+
+        t_ad_g = timeit(fwdbwd_ad, o, d)
+        rays_rkf45_fwdbwd = n_rays / t_ad_g
 
     # Compiled-kernel parity record (tools/tpu_parity.py): every bench
     # run doubles as evidence that the compiled Mosaic kernels agree
@@ -252,7 +302,13 @@ def main():
                 "rays_per_s_fwd_rkf45_512": (
                     round(rays_rkf45, 1) if rays_rkf45 else None
                 ),
+                "rays_per_s_fwdbwd_rkf45": (
+                    round(rays_rkf45_fwdbwd, 1)
+                    if rays_rkf45_fwdbwd else None
+                ),
                 "grad_mode": grad_mode,
+                "grad_finite": grad_finite,
+                "grad_dmass_dspin": [round(v, 6) for v in grad_vals],
                 "compiled_parity": parity,
                 "platform": platform,
                 "n_devices": len(jax.devices()),

@@ -200,6 +200,14 @@ class SimConfig:
     enable_redshift: bool = struct.field(pytree_node=False, default=True)
     enable_beaming: bool = struct.field(pytree_node=False, default=True)
     show_disk: bool = struct.field(pytree_node=False, default=True)
+    # Differentiable shadow boundary (OFF by default -> hard edge, the
+    # reference's semantics).  > 0: escaped-ray color is multiplied by
+    # sigmoid((min_r - r_photon) / (shadow_softness * M)), making the
+    # shadow SIZE differentiable w.r.t. (mass, spin) — pathwise AD sees
+    # no gradient from capture/escape flips, so hard-edge mass
+    # gradients can point the wrong way (the classic visibility-term
+    # gap of differentiable rendering).  Used by inverse rendering.
+    shadow_softness: float = struct.field(pytree_node=False, default=0.0)
 
     @classmethod
     def create(
@@ -213,6 +221,7 @@ class SimConfig:
         enable_redshift=True,
         enable_beaming=True,
         show_disk=True,
+        shadow_softness=0.0,
         dtype=jnp.float32,
     ):
         return cls(
@@ -225,6 +234,7 @@ class SimConfig:
             enable_redshift=bool(enable_redshift),
             enable_beaming=bool(enable_beaming),
             show_disk=bool(show_disk),
+            shadow_softness=float(shadow_softness),
         )
 
 
@@ -268,6 +278,11 @@ class Hit:
     # (raytracer.h:91); here it is real: tau = kappa Sigma(r) / |cos|
     # of the slant angle, Shakura-Sunyaev-flavored Sigma ~ r^{-3/5}.
     optical_depth: Array
+    # Closest Boyer-Lindquist radial approach along the trajectory.
+    # Powers photon-ring diagnostics and the differentiable shadow
+    # boundary (SimConfig.shadow_softness): the hard capture/escape
+    # flip is the visibility discontinuity pathwise AD cannot see.
+    min_r: Array
 
     def __getitem__(self, idx):
         import jax

@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from blackhole_tpu.geom.types import Camera, Scene
+from blackhole_tpu.integrate import sensitivity
 from blackhole_tpu.render import camera as cam
 from blackhole_tpu.render import trace
 
@@ -51,6 +52,12 @@ def trace_rays_diff(origins, directions, scene: Scene, segments: int = 0):
     remainder = max_steps - n_seg * inner  # exact parity with while_loop
 
     def inner_body(c, _):
+        # Per-step cotangent guard (integrate.sensitivity): identity
+        # forward; during the backward sweep it rescales each ray's
+        # cotangent to TANGENT_LIMIT and zeroes non-finite ones — the
+        # reverse-mode twin of the tangent guard in trace.trace_rays /
+        # the Pallas jvp kernels.
+        c = sensitivity.cotangent_guard(1, c)
         return trace.trace_step(c, scene, step_fn, adaptive), None
 
     @jax.checkpoint

@@ -18,8 +18,30 @@ that motivates the TPU build.
 
 from __future__ import annotations
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
+
+# Default per-component winsorization of color tangents.  Near-critical
+# (photon-shell-grazing) rays are chaotic: their pathwise tangents are
+# finite (integrate.sensitivity caps them) but orders of magnitude
+# beyond the smooth population (99.9th pct ~ 1e2 vs tail ~ 7e3 at
+# 1024^2 / a=0.9) and carry no usable signal — the underlying map is
+# discontinuous at that scale, so they enter an aggregate loss as
+# heavy-tailed noise (measured: they flip the SIGN of d(MSE)/d(mass) at
+# 256^2).  Clipping at 10 is ~5x the 99th percentile of legitimate
+# per-ray |d color|: identity for the smooth population, kills the
+# firefly tail.  Pass tangent_clip=None for the raw estimator.
+TANGENT_CLIP = 10.0
+
+
+def _clip_hit_tangent(dhit, clip):
+    if clip is None:
+        return dhit
+    return dataclasses.replace(
+        dhit, color=jnp.clip(dhit.color, -clip, clip)
+    )
 
 
 def _flatten_scalars(params):
@@ -89,7 +111,8 @@ def value_and_grad_fwd(fun):
     return value_and_grad
 
 
-def render_value_and_grad(loss_of_hit, setup_fn, interpret: bool = False):
+def render_value_and_grad(loss_of_hit, setup_fn, interpret: bool = False,
+                          tangent_clip=TANGENT_CLIP):
     """Forward-mode value_and_grad when the RAYS also depend on params.
 
     setup_fn(params) -> (scene, origins, dirs): ray generation is part
@@ -122,6 +145,7 @@ def render_value_and_grad(loss_of_hit, setup_fn, interpret: bool = False):
         loss = None
         grads = []
         for dhit in dhits:
+            dhit = _clip_hit_tangent(dhit, tangent_clip)
             loss, dl = jax.jvp(loss_of_hit, (hit,), (dhit,))
             grads.append(dl)
         return loss, rebuild(grads)
@@ -129,7 +153,8 @@ def render_value_and_grad(loss_of_hit, setup_fn, interpret: bool = False):
     return value_and_grad
 
 
-def scene_value_and_grad(loss_of_hit, scene_fn, interpret: bool = False):
+def scene_value_and_grad(loss_of_hit, scene_fn, interpret: bool = False,
+                         tangent_clip=TANGENT_CLIP):
     """Forward-mode value_and_grad through ONE multi-tangent kernel pass.
 
     scene_fn(params) -> Scene; loss_of_hit(hit) -> scalar.  Returns
@@ -165,6 +190,7 @@ def scene_value_and_grad(loss_of_hit, scene_fn, interpret: bool = False):
         loss = None
         grads = []
         for dhit in dhits:
+            dhit = _clip_hit_tangent(dhit, tangent_clip)
             loss, dl = jax.jvp(loss_of_hit, (hit,), (dhit,))
             grads.append(dl)
         return loss, rebuild(grads)

@@ -131,6 +131,14 @@ def fit_forward(
     fits of BASELINE config 5 this replaces the checkpointed
     reverse-mode scan at a fraction of the cost (no rematerialization,
     full per-tile early exit).  Returns (scene, camera, losses).
+
+    For fits at image scale (>= ~128^2), set shadow_softness > 0 on
+    init_scene.config (and render the target with the same config):
+    hard-edge pathwise gradients miss visibility terms — the shadow and
+    disk boundaries sweeping across pixels — which DOMINATE the FD
+    gradient at scale (measured wrong-signed d/d(mass) at 256^2).  The
+    soft boundary (trace.finalize) restores them; per-ray color
+    tangents are winsorized by default (fast_grad.TANGENT_CLIP).
     """
     import jax
 

@@ -111,6 +111,22 @@ def rn_critical_impact_parameter(M, charge=0.0):
     return r_ph / jnp.sqrt(jnp.maximum(f, EPSILON))
 
 
+def kerr_photon_orbit_radius(M, a_over_M=0.0, sign=1.0):
+    """Equatorial circular photon-orbit radius (Bardeen 1972).
+
+    r_ph = 2M (1 + cos(2/3 arccos(-sign * a/M))); sign=+1 prograde,
+    -1 retrograde.  Reduces to 3M at a = 0.  Smooth in (M, a) — the
+    threshold of the differentiable shadow boundary
+    (render.trace.finalize, SimConfig.shadow_softness).
+    """
+    return 2.0 * M * (
+        1.0
+        + jnp.cos(
+            2.0 / 3.0 * jnp.arccos(jnp.clip(-sign * a_over_M, -1.0, 1.0))
+        )
+    )
+
+
 def shadow_radius(M, a_over_M=0.0):
     """Apparent shadow (critical impact parameter).
 
@@ -125,10 +141,7 @@ def shadow_radius(M, a_over_M=0.0):
     a = a_over_M * M
 
     def photon_orbit_r(sign):
-        # r_ph = 2M (1 + cos(2/3 arccos(∓a/M)))  (Bardeen 1972)
-        return 2.0 * M * (
-            1.0 + jnp.cos(2.0 / 3.0 * jnp.arccos(jnp.clip(-sign * a_over_M, -1.0, 1.0)))
-        )
+        return kerr_photon_orbit_radius(M, a_over_M, sign)
 
     def b_crit(rp, sign):
         # Impact parameter of the spherical photon orbit (equatorial).

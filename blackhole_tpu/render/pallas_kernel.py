@@ -38,6 +38,7 @@ from jax.experimental.pallas import tpu as pltpu
 from blackhole_tpu.constants import EPSILON, HORIZON_CAPTURE_FACTOR
 from blackhole_tpu.geom import coords
 from blackhole_tpu.geom.types import Hit, Integrator, RayResult, Scene
+from blackhole_tpu.integrate import sensitivity
 from blackhole_tpu.integrate import steppers as sp
 from blackhole_tpu.render import geodesic, trace
 
@@ -69,6 +70,9 @@ def _rows_for(interpret: bool, multi: bool = False) -> int:
 # [M, a, Q, time_step, max_ray_distance, r_capture,
 #  disk_inner, disk_outer, sin_incl, cos_incl, tol]
 _N_SCAL_PLANES = 11
+# Output planes per ray set (primal or one tangent direction):
+# result, dist, steps, hit xyz, last-dir xyz, final cart xyz, min_r.
+_N_OUT_PLANES = 13
 
 
 def _rhs(r, th, pr, pth, L, M, a, Q):
@@ -156,7 +160,7 @@ def _step_update(state, scal, disk_enabled: bool, adaptive: bool = False):
     differentiated in forward mode *inside* the Pallas kernel.
 
     state: (r, th, ph, pr, pth, cx, cy, cz, dist, steps, result,
-            hx, hy, hz, lx, ly, lz, t, h)
+            hx, hy, hz, lx, ly, lz, t, h, min_r)
     scal:  (M, a, Q, dt, max_dist, r_capture, disk_inner, disk_outer,
             sin_incl, cos_incl, tol, L)  [L rides with scal: per-ray const]
 
@@ -169,7 +173,7 @@ def _step_update(state, scal, disk_enabled: bool, adaptive: bool = False):
     ray_tracer.comp:522-541).
     """
     (r, th, ph, pr, pth, cx, cy, cz, dist, steps, result,
-     hx, hy, hz, lx, ly, lz, tt, h_carry) = state
+     hx, hy, hz, lx, ly, lz, tt, h_carry, min_r) = state
     (M, a, Q, dt, max_dist, r_capture, disk_inner, disk_outer,
      sin_incl, cos_incl, tol, L) = scal
     active = result == float(trace.ACTIVE)
@@ -367,9 +371,10 @@ def _step_update(state, scal, disk_enabled: bool, adaptive: bool = False):
     # NOT active.astype(f32) + add: Mosaic (as of jax 0.9) fails with an
     # "Invalid relayout" on bool->f32 vector casts here.
     steps_n = jnp.where(active, steps + 1.0, steps)
+    min_r_n = jnp.where(advance, jnp.minimum(min_r, r_n), min_r)
     return (r_n, th_n, ph_n, pr_n, pth_n, cx_k, cy_k, cz_k,
             dist_n, steps_n, result, hx, hy, hz, lx_n, ly_n, lz_n,
-            t_n, h_new)
+            t_n, h_new, min_r_n)
 
 
 def _load_init(inp_ref, base, h0):
@@ -398,13 +403,14 @@ def _load_init(inp_ref, base, h0):
     result0 = zeros + float(trace.ACTIVE)
     return (r0, th0, ph0, pr0, pth0, cx0, cy0, cz0, zeros, zeros,
             result0, cx0, cy0, cz0, ldx0, ldy0, ldz0, zeros,
-            zeros + h0)
+            zeros + h0, r0)
 
 
 def _store_out(out_ref, offset, state):
-    """Write the 12 output planes starting at component `offset`."""
+    """Write the _N_OUT_PLANES output planes starting at `offset`."""
     (r_f, _, _, _, _, cx_f, cy_f, cz_f, dist_f, steps_f,
-     result_f, hx_f, hy_f, hz_f, lx_f, ly_f, lz_f, _t, _h) = state
+     result_f, hx_f, hy_f, hz_f, lx_f, ly_f, lz_f, _t, _h,
+     min_r_f) = state
     out_ref[0, offset + 0] = result_f
     out_ref[0, offset + 1] = dist_f
     out_ref[0, offset + 2] = steps_f
@@ -417,6 +423,7 @@ def _store_out(out_ref, offset, state):
     out_ref[0, offset + 9] = cx_f
     out_ref[0, offset + 10] = cy_f
     out_ref[0, offset + 11] = cz_f
+    out_ref[0, offset + 12] = min_r_f
 
 
 def _make_kernel(disk_enabled: bool, max_steps: int, adaptive: bool,
@@ -483,7 +490,12 @@ def _make_kernel_jvp(disk_enabled: bool, max_steps: int, adaptive: bool,
         n_state = len(state0)
 
         def f(state, scal_in):
-            return _step_update(state, scal_in, disk_enabled, adaptive)
+            # tangent_guard: per-ray tangent rescale + non-finite scrub
+            # once per step (integrate.sensitivity) — identity on the
+            # primal, so the plain kernel path is untouched.
+            return sensitivity.tangent_guard(
+                2, _step_update(state, scal_in, disk_enabled, adaptive)
+            )
 
         def cond(carry):
             (i, n_active, *_rest) = carry
@@ -503,7 +515,7 @@ def _make_kernel_jvp(disk_enabled: bool, max_steps: int, adaptive: bool,
             + dstate0
         final = jax.lax.while_loop(cond, body, init)
         _store_out(out_ref, 0, final[2:2 + n_state])
-        _store_out(out_ref, 12, final[2 + n_state:])
+        _store_out(out_ref, _N_OUT_PLANES, final[2 + n_state:])
 
     return kernel
 
@@ -545,7 +557,11 @@ def _make_kernel_jvp_multi(disk_enabled: bool, max_steps: int,
             dstates0.append(ds[:8] + (dzero, dzero, dzero) + ds[11:])
 
         def f(state, scal_in):
-            return _step_update(state, scal_in, disk_enabled, adaptive)
+            # Same per-step tangent guard as _make_kernel_jvp; applied
+            # independently to each tangent direction by the per-t jvp.
+            return sensitivity.tangent_guard(
+                2, _step_update(state, scal_in, disk_enabled, adaptive)
+            )
 
         def cond(carry):
             (i, n_active, *_rest) = carry
@@ -574,7 +590,7 @@ def _make_kernel_jvp_multi(disk_enabled: bool, max_steps: int,
         final = jax.lax.while_loop(cond, body, init)
         for t in range(1 + n_tan):
             _store_out(
-                out_ref, 12 * t,
+                out_ref, _N_OUT_PLANES * t,
                 final[2 + t * n_state:2 + (t + 1) * n_state],
             )
 
@@ -587,7 +603,7 @@ def _get_multi_core(disk_on: bool, max_steps: int, adaptive: bool,
     """Config-specialized multi-tangent pallas core.
 
     core(scal, dscals tuple, inp, dinps tuple) ->
-    (out, douts tuple), each (grid, 12, rows, 128)."""
+    (out, douts tuple), each (grid, _N_OUT_PLANES, rows, 128)."""
 
     def core(scal, dscals, inp, dinps):
         grid = inp.shape[0]
@@ -607,18 +623,19 @@ def _get_multi_core(disk_on: bool, max_steps: int, adaptive: bool,
             grid=(grid,),
             in_specs=[scal_spec] * (1 + n_tan) + [inp_spec] * (1 + n_tan),
             out_specs=pl.BlockSpec(
-                (1, 12 * (1 + n_tan), rows, TILE_LANES),
+                (1, _N_OUT_PLANES * (1 + n_tan), rows, TILE_LANES),
                 lambda g: (g, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             out_shape=jax.ShapeDtypeStruct(
-                (grid, 12 * (1 + n_tan), rows, TILE_LANES),
+                (grid, _N_OUT_PLANES * (1 + n_tan), rows, TILE_LANES),
                 jnp.float32,
             ),
             interpret=interpret,
         )(scal, *dscals, inp, *dinps)
-        return out[:, :12], tuple(
-            out[:, 12 * (1 + t):12 * (2 + t)] for t in range(n_tan)
+        p = _N_OUT_PLANES
+        return out[:, :p], tuple(
+            out[:, p * (1 + t):p * (2 + t)] for t in range(n_tan)
         )
 
     return core
@@ -680,8 +697,16 @@ def trace_rays_pallas_fwdgrad(origins, directions, scene: Scene,
     )
     out, douts = core(scal, tuple(dscals), inp, tuple(dinps))
 
+    L = None
+    if float(scene.config.shadow_softness) > 0.0:
+        L = inp[:, 5].reshape(-1)[:n]
+        if inv_order is not None:
+            L = L[inv_order]
+        L = jax.lax.stop_gradient(L)
+
     def post(out_, s):
-        return _postprocess(out_, n, batch_shape, s, inv_order)
+        # L rides the closure (stop-gradiented): only its sign is used.
+        return _postprocess(out_, n, batch_shape, s, inv_order, L)
 
     hit = post(out, scene)
     dhits = []
@@ -697,7 +722,7 @@ def _get_core(disk_on: bool, max_steps: int, adaptive: bool,
     """Cached, config-specialized pallas core with a custom JVP.
 
     core(scal_planes (10,rows,128), inp_planes (grid,12,rows,128)) ->
-    out (grid,12,rows,128); the grid size is read off inp's shape at
+    out (grid,_N_OUT_PLANES,rows,128); the grid size is read off inp's shape at
     trace time, so one cache entry serves every render resolution.
     Forward-mode differentiation runs the tangent-augmented kernel (one
     extra call per tangent direction); reverse mode is NOT defined here
@@ -722,12 +747,12 @@ def _get_core(disk_on: bool, max_steps: int, adaptive: bool,
                 ),
             ],
             out_specs=pl.BlockSpec(
-                (1, 12, rows, TILE_LANES),
+                (1, _N_OUT_PLANES, rows, TILE_LANES),
                 lambda g: (g, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             out_shape=jax.ShapeDtypeStruct(
-                (grid, 12, rows, TILE_LANES), jnp.float32
+                (grid, _N_OUT_PLANES, rows, TILE_LANES), jnp.float32
             ),
             interpret=interpret,
         )(scal, inp)
@@ -760,16 +785,16 @@ def _get_core(disk_on: bool, max_steps: int, adaptive: bool,
                 ),
             ],
             out_specs=pl.BlockSpec(
-                (1, 24, rows, TILE_LANES),
+                (1, 2 * _N_OUT_PLANES, rows, TILE_LANES),
                 lambda g: (g, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             out_shape=jax.ShapeDtypeStruct(
-                (grid, 24, rows, TILE_LANES), jnp.float32
+                (grid, 2 * _N_OUT_PLANES, rows, TILE_LANES), jnp.float32
             ),
             interpret=interpret,
         )(scal, dscal, inp, dinp)
-        return out[:, :12], out[:, 12:]
+        return out[:, :_N_OUT_PLANES], out[:, _N_OUT_PLANES:]
 
     @jax.custom_jvp
     def core(scal, inp):
@@ -865,13 +890,17 @@ def _prepare(origins, directions, scene: Scene, rows: int = TILE_ROWS):
 
 
 def _postprocess(out, n: int, batch_shape, scene: Scene,
-                 inv_order=None) -> Hit:
+                 inv_order=None, L=None) -> Hit:
     """Differentiable post-kernel stage: output planes -> shaded Hit.
 
     inv_order: optional (n,) int permutation restoring the caller's ray
-    order when the kernel ran on a depth-sorted batch."""
+    order when the kernel ran on a depth-sorted batch.
+    L: optional (n,) conserved angular momenta in the CALLER's ray
+    order — finalize uses only sign(L) (stop-gradiented) to pick the
+    prograde/retrograde photon-orbit threshold of the soft shadow
+    boundary; zeros otherwise."""
     n_total = out.shape[0] * out.shape[2] * out.shape[3]
-    flat = out.transpose(1, 0, 2, 3).reshape(12, n_total)[:, :n]
+    flat = out.transpose(1, 0, 2, 3).reshape(_N_OUT_PLANES, n_total)[:, :n]
     if inv_order is not None:
         flat = flat[:, inv_order]
     result = jax.lax.stop_gradient(flat[0]).astype(jnp.int32)
@@ -881,13 +910,15 @@ def _postprocess(out, n: int, batch_shape, scene: Scene,
     carry = trace.TraceCarry(
         y=jnp.zeros((n, 6), jnp.float32),
         h=jnp.zeros((n,), jnp.float32),
-        L=jnp.zeros((n,), jnp.float32),  # unused by finalize
+        L=(jnp.zeros((n,), jnp.float32) if L is None
+           else jax.lax.stop_gradient(L)),
         dist=flat[1],
         steps=jax.lax.stop_gradient(flat[2]).astype(jnp.int32),
         result=result,
         cart=flat[9:12].T,
         hit_pos=flat[3:6].T,
         last_dir=flat[6:9].T,
+        min_r=flat[12],
         iter=jnp.zeros((), jnp.int32),
     )
     hit = trace.finalize(carry, scene)
@@ -930,4 +961,11 @@ def trace_rays_pallas(origins, directions, scene: Scene,
         int(scene.config.max_steps), adaptive, interpret, rows,
     )
     out = core(scal, inp)
-    return _postprocess(out, n, batch_shape, scene, inv_order)
+    L = None
+    if float(scene.config.shadow_softness) > 0.0:
+        # Conserved L in the kernel's input planes, restored to the
+        # caller's order; only sign(L) is consumed (threshold select).
+        L = inp[:, 5].reshape(-1)[:n]
+        if inv_order is not None:
+            L = L[inv_order]
+    return _postprocess(out, n, batch_shape, scene, inv_order, L)

@@ -7,6 +7,7 @@ All branch-free (jnp.where), batched over rays, differentiable.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from blackhole_tpu.constants import (
@@ -241,3 +242,23 @@ def shade_disk_hit(hit_pos, photon_dir, blackhole, disk, config):
         enable_beaming=config.enable_beaming,
     )
     return rgb, temp, doppler, grav
+
+
+def disk_edge_window(hit_pos, disk, width):
+    """Soft-rasterization-style opacity window at the annulus edges.
+
+    sigmoid ramps (offset -3 so the hard in/out flip lands at ~5%
+    opacity) over the inclined in-plane radius; 1 in the interior.
+    Used by trace.finalize under SimConfig.shadow_softness to
+    composite disk emission over the background sky so a ray flipping
+    in/out of the disk as (mass, spin, radii) move changes color
+    continuously — the classification stays hard (trace loop), but its
+    color discontinuity vanishes and the edge gradient is carried by
+    this differentiable window instead."""
+    incl = disk.inclination
+    x = hit_pos[..., 0]
+    yp = jnp.cos(incl) * hit_pos[..., 1] + jnp.sin(incl) * hit_pos[..., 2]
+    r_plane = jnp.sqrt(x * x + yp * yp)
+    return jax.nn.sigmoid(
+        (r_plane - disk.inner_radius) / width - 3.0
+    ) * jax.nn.sigmoid((disk.outer_radius - r_plane) / width - 3.0)

@@ -199,3 +199,176 @@ def test_pack_unpack_roundtrip():
         float(s2.disk.outer_radius), 20.0, rtol=1e-6
     )
     np.testing.assert_allclose(float(c2.fov_deg), 25.0, rtol=1e-6)
+
+
+def _near_critical_rays(n=8, dtype=jnp.float32):
+    """Equatorial Schwarzschild rays bracketing b_crit = sqrt(27) M.
+
+    Chaotic photon-shell orbits have positive Lyapunov exponents, so
+    forward-mode tangents of these rays grow exponentially and overflow
+    float32 within the step budget unless guarded
+    (integrate.sensitivity.tangent_guard).
+    """
+    b_crit = float(np.sqrt(27.0))
+    offsets = np.concatenate([
+        b_crit + np.geomspace(1e-5, 1e-3, n // 2),
+        b_crit - np.geomspace(1e-5, 1e-3, n // 2),
+    ])
+    o = jnp.stack(
+        [jnp.full((n,), -30.0, dtype),
+         jnp.asarray(offsets, dtype),
+         jnp.zeros((n,), dtype)], axis=-1,
+    )
+    d = jnp.tile(jnp.asarray([1.0, 0.0, 0.0], dtype), (n, 1))
+    return o, d
+
+
+@pytest.mark.parametrize("engine", ["xla", "pallas"])
+def test_near_critical_tangents_are_finite_and_bounded(engine):
+    """Forward-mode tangents of photon-shell-grazing rays stay finite.
+
+    Regression: at 1024^2 / a=0.9 / f32, 21 rays' d(color)/d(mass) went
+    NaN and the finite tail reached 2.5e9 before the per-step tangent
+    guard; now every tangent is finite and the per-ray magnitude is
+    bounded by the guard (modulo bounded post-loop shading growth)."""
+    from blackhole_tpu.integrate.sensitivity import TANGENT_LIMIT
+    from blackhole_tpu.render import pallas_kernel, trace
+
+    o, d = _near_critical_rays()
+    scene = Scene(
+        blackhole=BlackHole.create(1.0, 0.0, dtype=jnp.float32),
+        disk=Disk.create(6.0, 20.0, dtype=jnp.float32),
+        config=SimConfig.create(
+            time_step=0.1, max_ray_distance=150.0, max_steps=1500,
+            dtype=jnp.float32,
+        ),
+        disk_enabled=True,
+    )
+
+    def color_of(mass):
+        s = dataclasses.replace(
+            scene, blackhole=dataclasses.replace(scene.blackhole, mass=mass)
+        )
+        if engine == "xla":
+            return trace.trace_rays(o, d, s).color
+        return pallas_kernel.trace_rays_pallas(o, d, s, interpret=True).color
+
+    _, dc = jax.jvp(
+        color_of, (jnp.float32(1.0),), (jnp.float32(1.0),)
+    )
+    dc = np.asarray(dc)
+    assert np.isfinite(dc).all(), dc
+    assert np.abs(dc).max() <= 10.0 * TANGENT_LIMIT, np.abs(dc).max()
+
+
+def _oblique_rays(size=48, dtype=jnp.float32):
+    from blackhole_tpu.render import camera as cam_mod
+
+    camera = Camera.create(
+        position=(0.0, -35.0, 12.0), direction=(0.0, 35.0, -12.0),
+        up=(0.0, 0.0, 1.0), fov_deg=22.0, dtype=dtype,
+    )
+    o, d = cam_mod.generate_rays(camera, size, size)
+    return o.reshape(-1, 3), d.reshape(-1, 3)
+
+
+def _soft_scene(softness, dtype=jnp.float32):
+    return Scene(
+        blackhole=BlackHole.create(1.0, 0.9, dtype=dtype),
+        disk=Disk.create(6.0, 20.0, dtype=dtype),
+        config=SimConfig.create(
+            time_step=0.1, max_ray_distance=150.0, max_steps=800,
+            shadow_softness=softness, dtype=dtype,
+        ),
+        disk_enabled=True,
+    )
+
+
+def test_min_r_matches_analytic_periapsis():
+    """Hit.min_r of an escaping equatorial Schwarzschild ray equals the
+    analytic periapsis: the largest root of r^3 - b^2 r + 2 M b^2 = 0."""
+    from blackhole_tpu.render import trace
+
+    b = 10.0
+    o = jnp.asarray([[-60.0, b, 0.0]], jnp.float64)
+    d = jnp.asarray([[1.0, 0.0, 0.0]], jnp.float64)
+    scene = Scene(
+        blackhole=BlackHole.create(1.0, 0.0, dtype=jnp.float64),
+        disk=Disk.create(6.0, 20.0, dtype=jnp.float64),
+        config=SimConfig.create(
+            time_step=0.05, max_ray_distance=200.0, max_steps=6000,
+            dtype=jnp.float64,
+        ),
+        disk_enabled=False,
+    )
+    hit = trace.trace_rays(o, d, scene)
+    roots = np.roots([1.0, 0.0, -b * b, 2.0 * b * b])
+    r_peri = float(np.max(roots[np.isreal(roots)].real))
+    np.testing.assert_allclose(float(hit.min_r[0]), r_peri, rtol=2e-3)
+
+
+def test_soft_shadow_gradients_track_finite_differences():
+    """With shadow_softness on, visibility gradients become pathwise-
+    visible: d(mean color)/d(disk inner radius) matches FD closely (the
+    annulus window carries the whole edge), and d/d(mass) has the right
+    SIGN and magnitude band (shadow-boundary flips are smoothed; some
+    residual hard flips remain at 48^2).  With a hard edge (softness 0)
+    the mass gradient at this scene is an order of magnitude off FD —
+    measured wrong-signed at 256^2."""
+    from blackhole_tpu.render import trace
+
+    o, d = _oblique_rays(48)
+    soft = 0.3
+
+    def loss_mass(m):
+        s = _soft_scene(soft)
+        s = dataclasses.replace(
+            s, blackhole=dataclasses.replace(s.blackhole, mass=m)
+        )
+        return jnp.mean(trace.trace_rays(o, d, s).color)
+
+    def loss_rin(r):
+        s = _soft_scene(soft)
+        s = dataclasses.replace(
+            s, disk=dataclasses.replace(s.disk, inner_radius=r)
+        )
+        return jnp.mean(trace.trace_rays(o, d, s).color)
+
+    v, dv = jax.jvp(loss_rin, (jnp.float32(6.0),), (jnp.float32(1.0),))
+    eps = 1e-2
+    fd = (float(loss_rin(jnp.float32(6.0 + eps)))
+          - float(loss_rin(jnp.float32(6.0 - eps)))) / (2 * eps)
+    assert np.sign(fd) == np.sign(float(dv))
+    np.testing.assert_allclose(float(dv), fd, rtol=0.3)
+
+    v, dv = jax.jvp(loss_mass, (jnp.float32(1.0),), (jnp.float32(1.0),))
+    eps = 3e-3
+    fd = (float(loss_mass(jnp.float32(1.0 + eps)))
+          - float(loss_mass(jnp.float32(1.0 - eps)))) / (2 * eps)
+    assert np.sign(fd) == np.sign(float(dv))
+    assert 0.2 * abs(fd) <= abs(float(dv)) <= 2.0 * abs(fd)
+
+
+def test_near_critical_reverse_gradients_are_finite():
+    """Reverse-mode twin of the tangent-guard regression: the adjoint
+    of photon-shell-grazing rays overflows f32 without the per-step
+    cotangent guard in grad.diff_trace."""
+    o, d = _near_critical_rays()
+    scene = Scene(
+        blackhole=BlackHole.create(1.0, 0.0, dtype=jnp.float32),
+        disk=Disk.create(6.0, 20.0, dtype=jnp.float32),
+        config=SimConfig.create(
+            time_step=0.1, max_ray_distance=150.0, max_steps=1500,
+            dtype=jnp.float32,
+        ),
+        disk_enabled=True,
+    )
+
+    def loss(mass):
+        s = dataclasses.replace(
+            scene, blackhole=dataclasses.replace(scene.blackhole, mass=mass)
+        )
+        return jnp.sum(diff_trace.trace_rays_diff(o, d, s).color)
+
+    g = jax.grad(loss)(jnp.float32(1.0))
+    assert np.isfinite(float(g)), g

@@ -315,3 +315,26 @@ def test_pallas_rejects_unsupported_integrator():
     scene2 = dataclasses.replace(scene, config=cfg)
     with pytest.raises(ValueError):
         pallas_kernel.trace_rays_pallas(o, d, scene2, interpret=True)
+
+
+def test_pallas_soft_shadow_matches_while_loop():
+    """Engine parity with the differentiable shadow boundary ON
+    (min_r output plane + soft compositing share trace.finalize)."""
+    import dataclasses
+
+    scene, o, d = make_case(0.9, True, max_steps=400)
+    scene = dataclasses.replace(
+        scene,
+        config=SimConfig.create(
+            time_step=0.1, max_ray_distance=80.0, max_steps=400,
+            shadow_softness=0.25,
+        ),
+    )
+    hit_ref = trace.trace_rays(o, d, scene)
+    hit_pal = pallas_kernel.trace_rays_pallas(o, d, scene, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(hit_pal.min_r), np.asarray(hit_ref.min_r), rtol=3e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(hit_pal.color), np.asarray(hit_ref.color), atol=2e-5
+    )
