@@ -208,6 +208,14 @@ class SimConfig:
     # gradients can point the wrong way (the classic visibility-term
     # gap of differentiable rendering).  Used by inverse rendering.
     shadow_softness: float = struct.field(pytree_node=False, default=0.0)
+    # Disk kinematic model for relativistic shading:
+    # "compat" — flat-space Keplerian speed + special-relativistic
+    #            Doppler + Schwarzschild dilation (the reference's
+    #            physics, raytracer.c:244-294 / ray_tracer.comp:278-292);
+    # "kerr"   — exact circular-orbit g-factor in Kerr(-Newman) using
+    #            the photon's conserved L (shading.kerr_g_factor) —
+    #            BEATS the reference's physics for a != 0.
+    disk_kinematics: str = struct.field(pytree_node=False, default="compat")
 
     @classmethod
     def create(
@@ -222,8 +230,14 @@ class SimConfig:
         enable_beaming=True,
         show_disk=True,
         shadow_softness=0.0,
+        disk_kinematics="compat",
         dtype=jnp.float32,
     ):
+        if disk_kinematics not in ("compat", "kerr"):
+            raise ValueError(
+                f"disk_kinematics must be 'compat' or 'kerr', "
+                f"got {disk_kinematics!r}"
+            )
         return cls(
             time_step=jnp.asarray(time_step, dtype),
             max_ray_distance=jnp.asarray(max_ray_distance, dtype),
@@ -235,6 +249,7 @@ class SimConfig:
             enable_beaming=bool(enable_beaming),
             show_disk=bool(show_disk),
             shadow_softness=float(shadow_softness),
+            disk_kinematics=str(disk_kinematics),
         )
 
 

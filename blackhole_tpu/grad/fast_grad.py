@@ -19,6 +19,7 @@ that motivates the TPU build.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -42,6 +43,23 @@ def _clip_hit_tangent(dhit, clip):
     return dataclasses.replace(
         dhit, color=jnp.clip(dhit.color, -clip, clip)
     )
+
+
+@functools.partial(jax.custom_jvp, nondiff_argnums=(1,))
+def clip_color_tangent(hit, clip=TANGENT_CLIP):
+    """Identity on the primal Hit; winsorizes the COLOR tangent under
+    jax.jvp (same TANGENT_CLIP estimator scene_value_and_grad /
+    render_value_and_grad apply).  Insert between the trace and the
+    loss when differentiating with value_and_grad_fwd so the
+    one-jvp-per-parameter path computes the same clipped estimator as
+    the multi-tangent paths.  clip=None is the raw estimator."""
+    return hit
+
+
+@clip_color_tangent.defjvp
+def _clip_color_tangent_jvp(clip, primals, tangents):
+    (hit,), (dhit,) = primals, tangents
+    return hit, _clip_hit_tangent(dhit, clip)
 
 
 def _flatten_scalars(params):
@@ -88,6 +106,14 @@ def value_and_grad_fwd(fun):
     Unlike jax.jacfwd this never vmaps over tangents (the Pallas kernel
     is specialized to a single tangent set), and unlike
     jax.value_and_grad it never transposes the integrator.
+
+    Estimator note: because fun is opaque (params -> scalar), this path
+    cannot winsorize the rendered color tangents itself the way
+    scene_value_and_grad / render_value_and_grad do (TANGENT_CLIP).
+    For the same clipped estimator, apply `clip_color_tangent` to the
+    Hit inside fun, between the trace and the loss; without it this
+    computes the RAW estimator, which keeps the heavy-tailed firefly
+    tangents the clip exists to remove.
     """
 
     def value_and_grad(params, *args):

@@ -20,8 +20,13 @@ integration step:
 computations (the plain Pallas kernel, un-differentiated traces), and
 active inside jax.jvp — both through the XLA while_loop driver
 (trace.trace_rays) and inside the tangent-augmented Pallas kernels
-(pallas_kernel._make_kernel_jvp*), so the two engines keep bitwise
-tangent parity.  It is intentionally not reverse-transposable: the
+(pallas_kernel._make_kernel_jvp*).  Tangent parity between the two
+engines is exact for every ray the guard never rescales (the normal
+case: factor == 1 below TANGENT_LIMIT); on the rare rescaled rays the
+factor itself can differ slightly, because the XLA carry includes the
+conserved L's tangent in the magnitude while the Pallas state keeps L
+in the unguarded scal planes.  It is intentionally not
+reverse-transposable: the
 guarded drivers are forward-mode only (reverse mode lives in
 grad.diff_trace, which has its own per-step cotangent guard).
 """

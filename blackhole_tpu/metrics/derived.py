@@ -22,6 +22,29 @@ def time_dilation(r, M):
     return 1.0 / jnp.sqrt(f)
 
 
+def kerr_circular_omega(r, M, a, sign=1.0):
+    """Coordinate angular velocity of a circular equatorial geodesic
+    orbit in Kerr: Omega = ± M^{1/2} / (r^{3/2} ± a M^{1/2})
+    (Bardeen-Press-Teukolsky 1972).  sign=+1 prograde, -1 retrograde;
+    a in length units (a = spin * M).  Reduces to the Keplerian
+    sqrt(M/r^3) at a = 0 — the exact replacement for the flat-space
+    v = sqrt(M/r) the reference uses (raytracer.c:244-294)."""
+    sqM = jnp.sqrt(jnp.maximum(M, EPSILON))
+    r32 = jnp.maximum(r, EPSILON) ** 1.5
+    return sign * sqM / (r32 + sign * a * sqM)
+
+
+def static_time_dilation_kerr(r, M, a, charge=0.0):
+    """Equatorial static-observer time dilation 1/sqrt(-g_tt)
+    = 1/sqrt(1 - (2Mr - Q^2)/r^2) — the exact Kerr-Newman analog of
+    `time_dilation` (which is spin/charge-blind).  Clamped at the
+    ergosphere (equatorially r = 2M), inside which static observers
+    do not exist."""
+    r = jnp.maximum(r, EPSILON)
+    f = 1.0 - (2.0 * M * r - charge * charge) / (r * r)
+    return 1.0 / jnp.sqrt(jnp.maximum(f, EPSILON))
+
+
 def isco_radius(M, a_over_M, prograde=True):
     """Bardeen-Press-Teukolsky ISCO (spacetime.c:285-308, 548-556).
 

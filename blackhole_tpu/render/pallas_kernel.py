@@ -71,8 +71,16 @@ def _rows_for(interpret: bool, multi: bool = False) -> int:
 #  disk_inner, disk_outer, sin_incl, cos_incl, tol]
 _N_SCAL_PLANES = 11
 # Output planes per ray set (primal or one tangent direction):
-# result, dist, steps, hit xyz, last-dir xyz, final cart xyz, min_r.
+# result, dist, steps, hit xyz, last-dir xyz, final cart xyz, min_r;
+# +7 (min_az, closest-approach pos xyz, dir xyz) when the kernel is
+# compiled with crossing-opacity tracking (trace.track_crossing — the
+# soft-boundary differentiable-rendering mode).
 _N_OUT_PLANES = 13
+_N_TRACK_PLANES = 7
+
+
+def _n_out(track: bool) -> int:
+    return _N_OUT_PLANES + (_N_TRACK_PLANES if track else 0)
 
 
 def _rhs(r, th, pr, pth, L, M, a, Q):
@@ -153,16 +161,22 @@ def _bl_to_cart(r, th, ph, a):
     return w * st * jnp.cos(ph), w * st * jnp.sin(ph), r * ct
 
 
-def _step_update(state, scal, disk_enabled: bool, adaptive: bool = False):
+def _step_update(state, scal, disk_enabled: bool, adaptive: bool = False,
+                 track: bool = False):
     """One masked integration step as a pure function of
     (state, scal) tuples of (rows, 128) vectors — shared by the plain
     forward kernel and the tangent-augmented (JVP) kernels, where it is
     differentiated in forward mode *inside* the Pallas kernel.
 
     state: (r, th, ph, pr, pth, cx, cy, cz, dist, steps, result,
-            hx, hy, hz, lx, ly, lz, t, h, min_r)
+            hx, hy, hz, lx, ly, lz, t, h, min_r
+            [, min_az, gx, gy, gz, gdx, gdy, gdz when track])
     scal:  (M, a, Q, dt, max_dist, r_capture, disk_inner, disk_outer,
             sin_incl, cos_incl, tol, L)  [L rides with scal: per-ray const]
+
+    track: carry the crossing-opacity planes (closest in-band approach
+    to the disk plane + position/direction there) — identical tracking
+    to trace.trace_step under trace.track_crossing.
 
     adaptive=False: fixed-step RK4 with the radius schedule
     (trace.step_size_schedule); the carried h plane rides unchanged.
@@ -173,7 +187,9 @@ def _step_update(state, scal, disk_enabled: bool, adaptive: bool = False):
     ray_tracer.comp:522-541).
     """
     (r, th, ph, pr, pth, cx, cy, cz, dist, steps, result,
-     hx, hy, hz, lx, ly, lz, tt, h_carry, min_r) = state
+     hx, hy, hz, lx, ly, lz, tt, h_carry, min_r) = state[:20]
+    if track:
+        (min_az, gx, gy, gz, gdx, gdy, gdz) = state[20:]
     (M, a, Q, dt, max_dist, r_capture, disk_inner, disk_outer,
      sin_incl, cos_incl, tol, L) = scal
     active = result == float(trace.ACTIVE)
@@ -320,6 +336,22 @@ def _step_update(state, scal, disk_enabled: bool, adaptive: bool = False):
         hy = jnp.where(disk_hit, py, hy)
         hz = jnp.where(disk_hit, pz, hz)
         dist_n = jnp.where(disk_hit, dist + frac * step_len, dist_n)
+        if track:
+            # Crossing-opacity tracking (trace.trace_step twin): min
+            # sampled |z'| while radially inside the annulus, plus the
+            # position/chord-direction there.
+            z_abs = jnp.abs(z_new)
+            yp_n = cos_incl * cy_n + sin_incl * cz_n
+            r_plane_n = jnp.sqrt(cx_n * cx_n + yp_n * yp_n)
+            in_band = (r_plane_n >= disk_inner) & (r_plane_n <= disk_outer)
+            cand = advance & in_band & (z_abs < min_az)
+            min_az = jnp.where(cand, z_abs, min_az)
+            gx = jnp.where(cand, cx_n, gx)
+            gy = jnp.where(cand, cy_n, gy)
+            gz = jnp.where(cand, cz_n, gz)
+            gdx = jnp.where(cand, dxc * inv_len, gdx)
+            gdy = jnp.where(cand, dyc * inv_len, gdy)
+            gdz = jnp.where(cand, dzc * inv_len, gdz)
         if adaptive:
             # Disk-aware step clamp — identical formula to
             # trace.trace_step (see the comment there): approaching
@@ -372,12 +404,15 @@ def _step_update(state, scal, disk_enabled: bool, adaptive: bool = False):
     # "Invalid relayout" on bool->f32 vector casts here.
     steps_n = jnp.where(active, steps + 1.0, steps)
     min_r_n = jnp.where(advance, jnp.minimum(min_r, r_n), min_r)
-    return (r_n, th_n, ph_n, pr_n, pth_n, cx_k, cy_k, cz_k,
-            dist_n, steps_n, result, hx, hy, hz, lx_n, ly_n, lz_n,
-            t_n, h_new, min_r_n)
+    out = (r_n, th_n, ph_n, pr_n, pth_n, cx_k, cy_k, cz_k,
+           dist_n, steps_n, result, hx, hy, hz, lx_n, ly_n, lz_n,
+           t_n, h_new, min_r_n)
+    if track:
+        out = out + (min_az, gx, gy, gz, gdx, gdy, gdz)
+    return out
 
 
-def _load_init(inp_ref, base, h0):
+def _load_init(inp_ref, base, h0, track: bool = False):
     """State tuple from the input planes of one tile.
 
     h0: initial step-size plane (time_step for the adaptive mode; the
@@ -401,16 +436,21 @@ def _load_init(inp_ref, base, h0):
     # rejects ("Invalid relayout", jax 0.9).
     zeros = r0 * 0.0
     result0 = zeros + float(trace.ACTIVE)
-    return (r0, th0, ph0, pr0, pth0, cx0, cy0, cz0, zeros, zeros,
-            result0, cx0, cy0, cz0, ldx0, ldy0, ldz0, zeros,
-            zeros + h0, r0)
+    state = (r0, th0, ph0, pr0, pth0, cx0, cy0, cz0, zeros, zeros,
+             result0, cx0, cy0, cz0, ldx0, ldy0, ldz0, zeros,
+             zeros + h0, r0)
+    if track:
+        # min_az starts far (1e9, matches trace.init_carry); closest-
+        # approach pos/dir start at the ray origin/direction.
+        state = state + (zeros + 1e9, cx0, cy0, cz0, ldx0, ldy0, ldz0)
+    return state
 
 
-def _store_out(out_ref, offset, state):
-    """Write the _N_OUT_PLANES output planes starting at `offset`."""
+def _store_out(out_ref, offset, state, track: bool = False):
+    """Write the _n_out(track) output planes starting at `offset`."""
     (r_f, _, _, _, _, cx_f, cy_f, cz_f, dist_f, steps_f,
      result_f, hx_f, hy_f, hz_f, lx_f, ly_f, lz_f, _t, _h,
-     min_r_f) = state
+     min_r_f) = state[:20]
     out_ref[0, offset + 0] = result_f
     out_ref[0, offset + 1] = dist_f
     out_ref[0, offset + 2] = steps_f
@@ -424,18 +464,22 @@ def _store_out(out_ref, offset, state):
     out_ref[0, offset + 10] = cy_f
     out_ref[0, offset + 11] = cz_f
     out_ref[0, offset + 12] = min_r_f
+    if track:
+        for k, v in enumerate(state[20:]):
+            out_ref[0, offset + 13 + k] = v
 
 
 def _make_kernel(disk_enabled: bool, max_steps: int, adaptive: bool,
-                 rows: int):
-    """Build the kernel body; disk handling, the step budget, and the
-    integrator mode are compiled in (static in SimConfig)."""
+                 rows: int, track: bool = False):
+    """Build the kernel body; disk handling, the step budget, the
+    integrator mode, and crossing-opacity tracking are compiled in
+    (static in SimConfig)."""
 
     def kernel(scal_ref, inp_ref, out_ref):
         scal = tuple(scal_ref[k] for k in range(_N_SCAL_PLANES)) + (
             inp_ref[0, 5],  # L (per-ray constant)
         )
-        state0 = _load_init(inp_ref, 0, scal[3])  # h0 = time_step
+        state0 = _load_init(inp_ref, 0, scal[3], track)  # h0 = time_step
 
         def cond(carry):
             # Mosaic cannot lower a vector->scalar reduction inside the
@@ -446,7 +490,8 @@ def _make_kernel(disk_enabled: bool, max_steps: int, adaptive: bool,
 
         def body(carry):
             i, _n, *state = carry
-            new = _step_update(tuple(state), scal, disk_enabled, adaptive)
+            new = _step_update(tuple(state), scal, disk_enabled, adaptive,
+                               track)
             n_active = jnp.sum(
                 (new[10] == float(trace.ACTIVE)).astype(jnp.int32)
             ).astype(jnp.int32)
@@ -454,13 +499,13 @@ def _make_kernel(disk_enabled: bool, max_steps: int, adaptive: bool,
 
         init = (jnp.int32(0), jnp.int32(rows * TILE_LANES)) + state0
         final = jax.lax.while_loop(cond, body, init)
-        _store_out(out_ref, 0, final[2:])
+        _store_out(out_ref, 0, final[2:], track)
 
     return kernel
 
 
 def _make_kernel_jvp(disk_enabled: bool, max_steps: int, adaptive: bool,
-                     rows: int):
+                     rows: int, track: bool = False):
     """Tangent-augmented kernel: integrates (state, dstate) together,
     with the tangent recurrence generated by jax.jvp of _step_update
     *inside* the kernel.  One tangent direction per call (the caller
@@ -479,13 +524,16 @@ def _make_kernel_jvp(disk_enabled: bool, max_steps: int, adaptive: bool,
         dscal = tuple(dscal_ref[k] for k in range(_N_SCAL_PLANES)) + (
             dinp_ref[0, 5],
         )
-        state0 = _load_init(inp_ref, 0, scal[3])
-        dstate0 = _load_init(dinp_ref, 0, dscal[3])
+        state0 = _load_init(inp_ref, 0, scal[3], track)
+        dstate0 = _load_init(dinp_ref, 0, dscal[3], track)
         # Tangents of (dist, steps, result) start at exact zero; the
         # _load_init trick put result0 = ACTIVE into slot 10 of the
         # tangent tuple, so rebuild those three slots from dinp zeros.
+        # Same for min_az (slot 20): its 1e9 init is a constant.
         dzero = dinp_ref[0, 0] * 0.0
         dstate0 = dstate0[:8] + (dzero, dzero, dzero) + dstate0[11:]
+        if track:
+            dstate0 = dstate0[:20] + (dzero,) + dstate0[21:]
 
         n_state = len(state0)
 
@@ -494,7 +542,8 @@ def _make_kernel_jvp(disk_enabled: bool, max_steps: int, adaptive: bool,
             # once per step (integrate.sensitivity) — identity on the
             # primal, so the plain kernel path is untouched.
             return sensitivity.tangent_guard(
-                2, _step_update(state, scal_in, disk_enabled, adaptive)
+                2, _step_update(state, scal_in, disk_enabled, adaptive,
+                                track)
             )
 
         def cond(carry):
@@ -514,14 +563,15 @@ def _make_kernel_jvp(disk_enabled: bool, max_steps: int, adaptive: bool,
         init = (jnp.int32(0), jnp.int32(rows * TILE_LANES)) + state0 \
             + dstate0
         final = jax.lax.while_loop(cond, body, init)
-        _store_out(out_ref, 0, final[2:2 + n_state])
-        _store_out(out_ref, _N_OUT_PLANES, final[2 + n_state:])
+        _store_out(out_ref, 0, final[2:2 + n_state], track)
+        _store_out(out_ref, _n_out(track), final[2 + n_state:], track)
 
     return kernel
 
 
 def _make_kernel_jvp_multi(disk_enabled: bool, max_steps: int,
-                           adaptive: bool, n_tan: int, rows: int):
+                           adaptive: bool, n_tan: int, rows: int,
+                           track: bool = False):
     """Multi-tangent kernel: integrates (state, dstate_1..dstate_n)
     together — ONE primal integration shared by all n tangent
     recurrences (jax.jvp is applied per tangent and XLA CSEs the
@@ -546,21 +596,25 @@ def _make_kernel_jvp_multi(disk_enabled: bool, max_steps: int,
             + (dinp_refs[t][0, 5],)
             for t in range(n_tan)
         ]
-        state0 = _load_init(inp_ref, 0, scal[3])
+        state0 = _load_init(inp_ref, 0, scal[3], track)
         n_state = len(state0)
         dstates0 = []
         for t in range(n_tan):
-            ds = _load_init(dinp_refs[t], 0, dscals[t][3])
+            ds = _load_init(dinp_refs[t], 0, dscals[t][3], track)
             dzero = dinp_refs[t][0, 0] * 0.0
             # Slots 8..10 (dist, steps, result) start at exact zero
-            # (same fix-up as _make_kernel_jvp).
-            dstates0.append(ds[:8] + (dzero, dzero, dzero) + ds[11:])
+            # (same fix-up as _make_kernel_jvp); slot 20 (min_az) too.
+            ds = ds[:8] + (dzero, dzero, dzero) + ds[11:]
+            if track:
+                ds = ds[:20] + (dzero,) + ds[21:]
+            dstates0.append(ds)
 
         def f(state, scal_in):
             # Same per-step tangent guard as _make_kernel_jvp; applied
             # independently to each tangent direction by the per-t jvp.
             return sensitivity.tangent_guard(
-                2, _step_update(state, scal_in, disk_enabled, adaptive)
+                2, _step_update(state, scal_in, disk_enabled, adaptive,
+                                track)
             )
 
         def cond(carry):
@@ -590,8 +644,9 @@ def _make_kernel_jvp_multi(disk_enabled: bool, max_steps: int,
         final = jax.lax.while_loop(cond, body, init)
         for t in range(1 + n_tan):
             _store_out(
-                out_ref, _N_OUT_PLANES * t,
+                out_ref, _n_out(track) * t,
                 final[2 + t * n_state:2 + (t + 1) * n_state],
+                track,
             )
 
     return kernel
@@ -599,14 +654,16 @@ def _make_kernel_jvp_multi(disk_enabled: bool, max_steps: int,
 
 @functools.lru_cache(maxsize=None)
 def _get_multi_core(disk_on: bool, max_steps: int, adaptive: bool,
-                    n_tan: int, interpret: bool, rows: int):
+                    n_tan: int, interpret: bool, rows: int,
+                    track: bool = False):
     """Config-specialized multi-tangent pallas core.
 
     core(scal, dscals tuple, inp, dinps tuple) ->
-    (out, douts tuple), each (grid, _N_OUT_PLANES, rows, 128)."""
+    (out, douts tuple), each (grid, _n_out(track), rows, 128)."""
 
     def core(scal, dscals, inp, dinps):
         grid = inp.shape[0]
+        p = _n_out(track)
         scal_spec = pl.BlockSpec(
             (_N_SCAL_PLANES, rows, TILE_LANES),
             lambda g: (0, 0, 0),
@@ -619,21 +676,20 @@ def _get_multi_core(disk_on: bool, max_steps: int, adaptive: bool,
         )
         out = pl.pallas_call(
             _make_kernel_jvp_multi(disk_on, max_steps, adaptive, n_tan,
-                                   rows),
+                                   rows, track),
             grid=(grid,),
             in_specs=[scal_spec] * (1 + n_tan) + [inp_spec] * (1 + n_tan),
             out_specs=pl.BlockSpec(
-                (1, _N_OUT_PLANES * (1 + n_tan), rows, TILE_LANES),
+                (1, p * (1 + n_tan), rows, TILE_LANES),
                 lambda g: (g, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             out_shape=jax.ShapeDtypeStruct(
-                (grid, _N_OUT_PLANES * (1 + n_tan), rows, TILE_LANES),
+                (grid, p * (1 + n_tan), rows, TILE_LANES),
                 jnp.float32,
             ),
             interpret=interpret,
         )(scal, *dscals, inp, *dinps)
-        p = _N_OUT_PLANES
         return out[:, :p], tuple(
             out[:, p * (1 + t):p * (2 + t)] for t in range(n_tan)
         )
@@ -691,22 +747,36 @@ def trace_rays_pallas_fwdgrad(origins, directions, scene: Scene,
         dscals.append(dscal)
         dinps.append(dinp)
 
+    track = trace.track_crossing(scene)
     core = _get_multi_core(
         bool(scene.disk_enabled and scene.config.show_disk),
         int(scene.config.max_steps), adaptive, n_tan, interpret, rows,
+        track,
     )
     out, douts = core(scal, tuple(dscals), inp, tuple(dinps))
 
-    L = None
-    if float(scene.config.shadow_softness) > 0.0:
-        L = inp[:, 5].reshape(-1)[:n]
-        if inv_order is not None:
-            L = L[inv_order]
-        L = jax.lax.stop_gradient(L)
+    if _needs_L(scene):
+        def extract_L(inp_):
+            Lv = inp_[:, 5].reshape(-1)[:n]
+            return Lv[inv_order] if inv_order is not None else Lv
+
+        L = extract_L(inp)
+
+        def post(out_, s, L_):
+            return _postprocess(out_, n, batch_shape, s, inv_order, L_)
+
+        hit = post(out, scene, L)
+        dhits = []
+        for dout, ds, dinp in zip(douts, scene_tangents, dinps):
+            # dL rides the jvp so kerr-mode shading sees d L/d params.
+            _, dhit = jax.jvp(
+                post, (out, scene, L), (dout, ds, extract_L(dinp))
+            )
+            dhits.append(dhit)
+        return hit, dhits
 
     def post(out_, s):
-        # L rides the closure (stop-gradiented): only its sign is used.
-        return _postprocess(out_, n, batch_shape, s, inv_order, L)
+        return _postprocess(out_, n, batch_shape, s, inv_order, None)
 
     hit = post(out, scene)
     dhits = []
@@ -718,7 +788,7 @@ def trace_rays_pallas_fwdgrad(origins, directions, scene: Scene,
 
 @functools.lru_cache(maxsize=None)
 def _get_core(disk_on: bool, max_steps: int, adaptive: bool,
-              interpret: bool, rows: int):
+              interpret: bool, rows: int, track: bool = False):
     """Cached, config-specialized pallas core with a custom JVP.
 
     core(scal_planes (10,rows,128), inp_planes (grid,12,rows,128)) ->
@@ -729,10 +799,12 @@ def _get_core(disk_on: bool, max_steps: int, adaptive: bool,
     — use blackhole_tpu.grad for that.
     """
 
+    p = _n_out(track)
+
     def _call_plain(scal, inp):
         grid = inp.shape[0]
         return pl.pallas_call(
-            _make_kernel(disk_on, max_steps, adaptive, rows),
+            _make_kernel(disk_on, max_steps, adaptive, rows, track),
             grid=(grid,),
             in_specs=[
                 pl.BlockSpec(
@@ -747,12 +819,12 @@ def _get_core(disk_on: bool, max_steps: int, adaptive: bool,
                 ),
             ],
             out_specs=pl.BlockSpec(
-                (1, _N_OUT_PLANES, rows, TILE_LANES),
+                (1, p, rows, TILE_LANES),
                 lambda g: (g, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             out_shape=jax.ShapeDtypeStruct(
-                (grid, _N_OUT_PLANES, rows, TILE_LANES), jnp.float32
+                (grid, p, rows, TILE_LANES), jnp.float32
             ),
             interpret=interpret,
         )(scal, inp)
@@ -760,7 +832,7 @@ def _get_core(disk_on: bool, max_steps: int, adaptive: bool,
     def _call_jvp(scal, dscal, inp, dinp):
         grid = inp.shape[0]
         out = pl.pallas_call(
-            _make_kernel_jvp(disk_on, max_steps, adaptive, rows),
+            _make_kernel_jvp(disk_on, max_steps, adaptive, rows, track),
             grid=(grid,),
             in_specs=[
                 pl.BlockSpec(
@@ -785,16 +857,16 @@ def _get_core(disk_on: bool, max_steps: int, adaptive: bool,
                 ),
             ],
             out_specs=pl.BlockSpec(
-                (1, 2 * _N_OUT_PLANES, rows, TILE_LANES),
+                (1, 2 * p, rows, TILE_LANES),
                 lambda g: (g, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             out_shape=jax.ShapeDtypeStruct(
-                (grid, 2 * _N_OUT_PLANES, rows, TILE_LANES), jnp.float32
+                (grid, 2 * p, rows, TILE_LANES), jnp.float32
             ),
             interpret=interpret,
         )(scal, dscal, inp, dinp)
-        return out[:, :_N_OUT_PLANES], out[:, _N_OUT_PLANES:]
+        return out[:, :p], out[:, p:]
 
     @jax.custom_jvp
     def core(scal, inp):
@@ -815,6 +887,16 @@ def _check_integrator(scene: Scene) -> bool:
             "pallas kernel supports the RK4 and RKF45 integrators only"
         )
     return scene.config.integrator == Integrator.RKF45
+
+
+def _needs_L(scene: Scene) -> bool:
+    """finalize consumes the per-ray conserved L: soft shadow boundary
+    (sign only, stop-gradiented there) and/or kerr disk kinematics
+    (full value, differentiable)."""
+    return (
+        float(scene.config.shadow_softness) > 0.0
+        or scene.config.disk_kinematics == "kerr"
+    )
 
 
 # --- depth-sorted tiling -------------------------------------------------
@@ -896,11 +978,14 @@ def _postprocess(out, n: int, batch_shape, scene: Scene,
     inv_order: optional (n,) int permutation restoring the caller's ray
     order when the kernel ran on a depth-sorted batch.
     L: optional (n,) conserved angular momenta in the CALLER's ray
-    order — finalize uses only sign(L) (stop-gradiented) to pick the
-    prograde/retrograde photon-orbit threshold of the soft shadow
-    boundary; zeros otherwise."""
+    order — finalize uses sign(L) (stop-gradiented at the use site) for
+    the soft shadow boundary's prograde/retrograde threshold and the
+    full differentiable value for kerr disk kinematics; zeros
+    otherwise."""
+    track = trace.track_crossing(scene)
+    n_planes = _n_out(track)
     n_total = out.shape[0] * out.shape[2] * out.shape[3]
-    flat = out.transpose(1, 0, 2, 3).reshape(_N_OUT_PLANES, n_total)[:, :n]
+    flat = out.transpose(1, 0, 2, 3).reshape(n_planes, n_total)[:, :n]
     if inv_order is not None:
         flat = flat[:, inv_order]
     result = jax.lax.stop_gradient(flat[0]).astype(jnp.int32)
@@ -910,8 +995,7 @@ def _postprocess(out, n: int, batch_shape, scene: Scene,
     carry = trace.TraceCarry(
         y=jnp.zeros((n, 6), jnp.float32),
         h=jnp.zeros((n,), jnp.float32),
-        L=(jnp.zeros((n,), jnp.float32) if L is None
-           else jax.lax.stop_gradient(L)),
+        L=jnp.zeros((n,), jnp.float32) if L is None else L,
         dist=flat[1],
         steps=jax.lax.stop_gradient(flat[2]).astype(jnp.int32),
         result=result,
@@ -920,6 +1004,9 @@ def _postprocess(out, n: int, batch_shape, scene: Scene,
         last_dir=flat[6:9].T,
         min_r=flat[12],
         iter=jnp.zeros((), jnp.int32),
+        min_az=flat[13] if track else None,
+        gpos=flat[14:17].T if track else None,
+        gdir=flat[17:20].T if track else None,
     )
     hit = trace.finalize(carry, scene)
     return jax.tree_util.tree_map(
@@ -959,12 +1046,13 @@ def trace_rays_pallas(origins, directions, scene: Scene,
     core = _get_core(
         bool(scene.disk_enabled and scene.config.show_disk),
         int(scene.config.max_steps), adaptive, interpret, rows,
+        trace.track_crossing(scene),
     )
     out = core(scal, inp)
     L = None
-    if float(scene.config.shadow_softness) > 0.0:
+    if _needs_L(scene):
         # Conserved L in the kernel's input planes, restored to the
-        # caller's order; only sign(L) is consumed (threshold select).
+        # caller's order; differentiable (inp came from _prepare).
         L = inp[:, 5].reshape(-1)[:n]
         if inv_order is not None:
             L = L[inv_order]

@@ -80,6 +80,44 @@ def doppler_factor_relativistic(hit_pos, photon_dir, M):
     )
 
 
+def kerr_g_factor(r_bl, L, M, a, charge=0.0, sign=1.0):
+    """Exact GR energy-shift factor for disk emission in Kerr(-Newman).
+
+    g = E_obs / E_emit for a photon with conserved (E = 1, L) emitted
+    by gas on a circular equatorial geodesic orbit at Boyer-Lindquist
+    radius r_bl and received by a static observer at infinity:
+
+        g = sqrt(-(g_tt + 2 Omega g_tphi + Omega^2 g_phph))
+            / (1 - Omega L)
+
+    with Omega the circular-orbit angular velocity
+    (derived.kerr_circular_omega).  This combines gravitational
+    redshift AND orbital Doppler exactly — replacing the reference's
+    flat-space Keplerian beta + 1 + 0.5 v.t approximation
+    (raytracer.c:244-294) and its GPU special-relativistic factor
+    (ray_tracer.comp:278-292).  Closed-form checks: a = 0, L = 0
+    gives the textbook sqrt(1 - 3M/r); diverges toward the photon
+    orbit where circular orbits become null.  Differentiable in
+    (r, L, M, a); clamped to [1e-3, 1e3] so near-photon-orbit hits
+    cannot overflow f32 shading.
+
+    Equatorial only: inclined disks have no circular geodesics, so
+    callers fall back to the compat factors for inclined geometry.
+    """
+    r = jnp.maximum(r_bl, EPSILON)
+    omega = derived.kerr_circular_omega(r, M, a, sign)
+    # Equatorial Kerr-Newman metric components (Sigma = r^2).
+    tm = 2.0 * M * r - charge * charge
+    g_tt = -(1.0 - tm / (r * r))
+    g_tphi = -tm * a / (r * r)
+    g_phph = r * r + a * a + tm * a * a / (r * r)
+    u2 = -(g_tt + 2.0 * omega * g_tphi + omega * omega * g_phph)
+    num = jnp.sqrt(jnp.maximum(u2, EPSILON))
+    den = 1.0 - omega * L
+    g = num / jnp.where(jnp.abs(den) < EPSILON, EPSILON, den)
+    return jnp.clip(g, 1e-3, 1e3)
+
+
 def doppler_factor_compat(hit_pos, photon_dir, M):
     """The reference CPU path's simplified factor 1 + 0.5 v.t_hat
     (raytracer.c:244-257), kept for behavioral parity tests."""
@@ -220,19 +258,49 @@ def sample_environment(direction, env_map):
     )
 
 
-def shade_disk_hit(hit_pos, photon_dir, blackhole, disk, config):
+def shade_disk_hit(hit_pos, photon_dir, blackhole, disk, config, L=None):
     """Full disk shading chain: temperature -> blackbody -> relativistic.
 
-    Returns (rgb, temperature, doppler, grav_redshift)."""
+    config.disk_kinematics selects the kinematic model:
+    * "compat" (default): flat-space Keplerian orbital speed,
+      special-relativistic Doppler, Schwarzschild time dilation — the
+      reference GPU path's physics (ray_tracer.comp:278-292).
+    * "kerr": the exact Kerr circular-orbit g-factor (kerr_g_factor)
+      using the photon's conserved L — requires L (falls back to
+      compat when L is None, e.g. legacy callers).
+
+    Returns (rgb, temperature, doppler, grav_redshift); in kerr mode
+    doppler/grav are the decomposition g = doppler / grav with grav
+    the exact static-observer dilation, so the Doppler^4 beaming
+    convention and the enable_* flags keep their reference semantics.
+    """
     x, y = hit_pos[..., 0], hit_pos[..., 1]
     r_cyl = jnp.sqrt(x * x + y * y)
     temp = disk_temperature(
         r_cyl, disk.inner_radius, disk.outer_radius, disk.temperature_scale
     )
     rgb = temperature_to_rgb(temp)
-    doppler = doppler_factor_relativistic(hit_pos, photon_dir, blackhole.mass)
-    r_sph = jnp.linalg.norm(hit_pos, axis=-1)
-    grav = derived.time_dilation(r_sph, blackhole.mass)
+    use_kerr = (
+        getattr(config, "disk_kinematics", "compat") == "kerr"
+        and L is not None
+    )
+    if use_kerr:
+        M = blackhole.mass
+        a = blackhole.spin * M
+        # Equatorial BL radius from the cylindrical one:
+        # w = sqrt(r^2 + a^2) on z = 0.
+        r_bl = jnp.sqrt(jnp.maximum(r_cyl * r_cyl - a * a, EPSILON))
+        g = kerr_g_factor(r_bl, L, M, a, blackhole.charge)
+        grav = derived.static_time_dilation_kerr(
+            r_bl, M, a, blackhole.charge
+        )
+        doppler = g * grav  # so apply's shift = doppler/grav = g
+    else:
+        doppler = doppler_factor_relativistic(
+            hit_pos, photon_dir, blackhole.mass
+        )
+        r_sph = jnp.linalg.norm(hit_pos, axis=-1)
+        grav = derived.time_dilation(r_sph, blackhole.mass)
     rgb = apply_relativistic_effects(
         rgb,
         doppler,

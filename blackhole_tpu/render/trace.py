@@ -49,6 +49,28 @@ class TraceCarry(NamedTuple):
     last_dir: jnp.ndarray  # (N, 3) unit direction of last step chord
     min_r: jnp.ndarray  # (N,) closest BL radial approach so far
     iter: jnp.ndarray  # () int32 global iteration counter
+    # Crossing-opacity tracking (None unless SimConfig.shadow_softness
+    # > 0 with the disk on): closest sampled approach to the disk plane
+    # while radially inside the annulus, and the position/direction
+    # there.  finalize composites disk emission over non-disk rays by a
+    # smooth function of min_az, so a ray FLIPPING between crossing and
+    # not crossing the plane (a tangential graze) changes color
+    # continuously and the flip carries pathwise gradient — the
+    # plane-crossing analog of the min_r soft shadow boundary.
+    min_az: jnp.ndarray | None = None  # (N,) min |z'| sampled in-band
+    gpos: jnp.ndarray | None = None  # (N, 3) cartesian position at min
+    gdir: jnp.ndarray | None = None  # (N, 3) unit chord direction at min
+
+
+def track_crossing(scene: Scene) -> bool:
+    """Static predicate: carry the crossing-opacity planes?  True only
+    for soft-boundary differentiable rendering with the disk enabled —
+    the hard-edge default pays zero extra carry cost."""
+    return bool(
+        scene.disk_enabled
+        and scene.config.show_disk
+        and float(scene.config.shadow_softness) > 0.0
+    )
 
 
 def _disk_plane_z(cart, incl):
@@ -210,6 +232,7 @@ def trace_step(carry: TraceCarry, scene: Scene, step_fn, adaptive: bool
 
     result = carry.result
     hit_pos = carry.hit_pos
+    min_az, gpos, gdir = carry.min_az, carry.gpos, carry.gdir
 
     # --- disk crossing (inline sign-change detection) ---
     if scene.disk_enabled and cfg.show_disk:
@@ -232,6 +255,22 @@ def trace_step(carry: TraceCarry, scene: Scene, step_fn, adaptive: bool
         dist_new = jnp.where(
             disk_hit, carry.dist + frac * step_len, dist_new
         )
+        if track_crossing(scene):
+            # Closest sampled approach to the disk plane while radially
+            # inside the annulus.  Near a tangential graze dz'/dlambda
+            # ~ 0, so the samples resolve the trajectory minimum well —
+            # exactly the regime where the crossing/not-crossing flip
+            # lives.  (Transversal near-crossings outside the annulus
+            # keep min_az large: they are not disk-visibility events.)
+            z_abs = jnp.abs(z_new)
+            r_plane_new = _disk_plane_radius(cart_new, incl)
+            in_band = (r_plane_new >= disk.inner_radius) & (
+                r_plane_new <= disk.outer_radius
+            )
+            cand = advance & in_band & (z_abs < min_az)
+            min_az = jnp.where(cand, z_abs, min_az)
+            gpos = jnp.where(cand[..., None], cart_new, gpos)
+            gdir = jnp.where(cand[..., None], unit_dir, gdir)
         if adaptive:
             # Disk-aware step clamp: an adaptive step many times the
             # plane-crossing time can ENTER and EXIT the disk plane
@@ -303,6 +342,9 @@ def trace_step(carry: TraceCarry, scene: Scene, step_fn, adaptive: bool
             advance, jnp.minimum(carry.min_r, r_new), carry.min_r
         ),
         iter=carry.iter + 1,
+        min_az=min_az,
+        gpos=gpos,
+        gdir=gdir,
     )
 
 
@@ -314,6 +356,7 @@ def init_carry(origins, directions, scene: Scene) -> TraceCarry:
     )
     n = y.shape[:-1]
     dtype = y.dtype
+    track = track_crossing(scene)
     return TraceCarry(
         y=y,
         h=jnp.full(n, scene.config.time_step, dtype),
@@ -326,6 +369,10 @@ def init_carry(origins, directions, scene: Scene) -> TraceCarry:
         last_dir=coords.normalize(jnp.asarray(directions, dtype)),
         min_r=y[..., geodesic.IR],
         iter=jnp.zeros((), jnp.int32),
+        min_az=jnp.full(n, 1e9, dtype) if track else None,
+        gpos=jnp.asarray(origins, dtype) if track else None,
+        gdir=(coords.normalize(jnp.asarray(directions, dtype))
+              if track else None),
     )
 
 
@@ -346,7 +393,7 @@ def finalize(carry: TraceCarry, scene: Scene) -> Hit:
     is_horizon = result == RayResult.HORIZON
 
     disk_rgb, temp, doppler, grav = shading.shade_disk_hit(
-        carry.hit_pos, carry.last_dir, bh, scene.disk, cfg
+        carry.hit_pos, carry.last_dir, bh, scene.disk, cfg, L=carry.L
     )
     if scene.env_map is not None:
         sky_rgb = shading.sample_environment(carry.last_dir, scene.env_map)
@@ -375,6 +422,28 @@ def finalize(carry: TraceCarry, scene: Scene) -> Hit:
     color = jnp.where(
         is_disk[..., None], disk_rgb, jnp.where(dark, black, sky_rgb)
     )
+    if track_crossing(scene) and carry.min_az is not None:
+        # Crossing opacity: composite disk emission (evaluated at the
+        # ray's closest in-band approach to the disk plane) over every
+        # NON-disk ray by alpha(min_az) * annulus_window.  At a
+        # tangential graze min_az -> 0 and alpha -> sigmoid(3) ~ 0.95,
+        # matching (to the same ~5% convention as the other soft
+        # boundaries) the color the ray takes the instant it flips to
+        # an actual crossing — so enter/exit-the-disk flips carry
+        # pathwise gradient through d(min_az)/d(params) instead of
+        # being invisible to AD.  The reference has no analog; this is
+        # differentiable-rendering machinery (soft rasterization of
+        # the disk's visibility function).
+        w = cfg.shadow_softness * bh.mass
+        g_rgb, _, _, _ = shading.shade_disk_hit(
+            carry.gpos, carry.gdir, bh, scene.disk, cfg, L=carry.L
+        )
+        window_g = shading.disk_edge_window(carry.gpos, scene.disk, w)
+        alpha = jax.nn.sigmoid(3.0 - carry.min_az / w)
+        cw = (alpha * window_g)[..., None]
+        color = jnp.where(
+            is_disk[..., None], color, color * (1.0 - cw) + g_rgb * cw
+        )
     if float(cfg.shadow_softness) > 0.0:
         # Differentiable shadow boundary: pathwise AD sees zero
         # gradient from a ray FLIPPING capture<->escape, so shadow-size

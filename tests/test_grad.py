@@ -349,6 +349,45 @@ def test_soft_shadow_gradients_track_finite_differences():
     assert 0.2 * abs(fd) <= abs(float(dv)) <= 2.0 * abs(fd)
 
 
+def test_crossing_opacity_mse_gradient_matches_fd():
+    """The round-4 acceptance bar (VERDICT r3 #2): with the full soft
+    stack (min_r shadow survival + annulus window + crossing opacity +
+    TANGENT_CLIP), pathwise d(MSE)/d(mass) tracks central finite
+    differences within 20% on BOTH sides of the optimum.  Before the
+    crossing-opacity carry this plateaued at ~73% of FD (PERF.md):
+    disk plane enter/exit flips carried no pathwise gradient."""
+    from blackhole_tpu.grad import fast_grad
+    from blackhole_tpu.render import trace
+
+    o, d = _oblique_rays(48)
+
+    def render(mass):
+        # 300 steps: enough to resolve every primary disk image at this
+        # oblique view; at deeper budgets the chaotic photon-shell tail
+        # grows and the TANGENT_CLIP winsorization bites harder (48^2 is
+        # also FD-noisy there) — the 256^2 measurement lives in
+        # tools/grad_fidelity.py + PERF.md.
+        s = _soft_scene(0.3)
+        s = dataclasses.replace(
+            s,
+            blackhole=dataclasses.replace(s.blackhole, mass=mass),
+            config=dataclasses.replace(s.config, max_steps=300),
+        )
+        return fast_grad.clip_color_tangent(trace.trace_rays(o, d, s)).color
+
+    target = render(jnp.float32(1.0))
+
+    def loss(mass):
+        return 0.5 * jnp.mean((render(mass) - target) ** 2)
+
+    for m0, eps in ((1.03, 3e-3), (0.98, 3e-3)):
+        m0 = jnp.float32(m0)
+        _, dv = jax.jvp(loss, (m0,), (jnp.float32(1.0),))
+        fd = (float(loss(m0 + eps)) - float(loss(m0 - eps))) / (2 * eps)
+        assert np.sign(float(dv)) == np.sign(fd), (float(dv), fd)
+        np.testing.assert_allclose(float(dv), fd, rtol=0.2)
+
+
 def test_near_critical_reverse_gradients_are_finite():
     """Reverse-mode twin of the tangent-guard regression: the adjoint
     of photon-shell-grazing rays overflows f32 without the per-step

@@ -1,0 +1,144 @@
+"""Kerr-exact disk kinematics (SimConfig.disk_kinematics="kerr").
+
+The reference shades the disk with a flat-space Keplerian speed,
+a special-relativistic Doppler factor, and a Schwarzschild (spin-blind)
+gravitational redshift (/root/reference/src/raytracer.c:244-294,
+ray_tracer.comp:278-292).  The "kerr" mode replaces all three with the
+exact circular-orbit g-factor g = E_obs/E_emit in Kerr(-Newman)
+(shading.kerr_g_factor), using the photon's conserved L.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from blackhole_tpu.geom.types import (
+    BlackHole, Camera, Disk, Scene, SimConfig,
+)
+from blackhole_tpu.metrics import derived, kerr as kerr_mod
+from blackhole_tpu.render import camera as cam
+from blackhole_tpu.render import shading, trace
+
+
+def test_g_factor_schwarzschild_closed_form():
+    """a = 0, face-on photon (L = 0): g = sqrt(1 - 3M/r) — the textbook
+    combined gravitational+transverse-Doppler shift of circular-orbit
+    emission."""
+    for r in (4.0, 6.0, 10.0, 30.0):
+        g = float(shading.kerr_g_factor(jnp.float64(r), 0.0, 1.0, 0.0))
+        np.testing.assert_allclose(g, np.sqrt(1.0 - 3.0 / r), rtol=1e-12)
+
+
+def test_g_factor_matches_metric_contraction_at_isco():
+    """g == sqrt(-(g_tt + 2 Om g_tphi + Om^2 g_phph)) / (1 - Om L) with
+    the metric evaluated directly (prograde ISCO, a = 0.9)."""
+    M, spin = 1.0, 0.9
+    a = spin * M
+    r = jnp.float64(derived.isco_radius(M, spin))
+    om = derived.kerr_circular_omega(r, M, a)
+    gm = np.asarray(kerr_mod.metric_matrix(r, jnp.float64(np.pi / 2), M, a))
+    u2 = -(gm[0, 0] + 2 * float(om) * gm[0, 3]
+           + float(om) ** 2 * gm[3, 3])
+    for L in (-1.5, 0.0, 1.7):
+        expect = np.sqrt(u2) / (1.0 - float(om) * L)
+        got = float(shading.kerr_g_factor(r, jnp.float64(L), M, a))
+        np.testing.assert_allclose(got, expect, rtol=1e-10)
+
+
+def test_circular_omega_keplerian_limit():
+    """a = 0 reduces to Omega = sqrt(M/r^3); retrograde is the negative."""
+    r = jnp.float64(20.0)
+    om = float(derived.kerr_circular_omega(r, 1.0, 0.0))
+    np.testing.assert_allclose(om, np.sqrt(1.0 / 20.0**3), rtol=1e-12)
+    om_retro = float(derived.kerr_circular_omega(r, 1.0, 0.0, sign=-1.0))
+    np.testing.assert_allclose(om_retro, -om, rtol=1e-12)
+
+
+def test_static_dilation_kerr_matches_schwarzschild():
+    r = jnp.float64(10.0)
+    np.testing.assert_allclose(
+        float(derived.static_time_dilation_kerr(r, 1.0, 0.9)),
+        float(derived.time_dilation(r, 1.0)),
+        rtol=1e-12,
+    )  # equatorial g_tt is spin-independent in BL coordinates
+
+
+def _scene(kin, m=1.0, spin=0.9):
+    return Scene(
+        blackhole=BlackHole.create(m, spin),
+        disk=Disk.create(6.0, 20.0),
+        config=SimConfig.create(
+            time_step=0.1, max_ray_distance=80.0, max_steps=150,
+            disk_kinematics=kin,
+        ),
+        disk_enabled=True,
+    )
+
+
+def _rays(size=12):
+    camera = Camera.create(
+        position=(0.0, -35.0, 12.0), direction=(0.0, 35.0, -12.0),
+        up=(0.0, 0.0, 1.0), fov_deg=22.0,
+    )
+    o, d = cam.generate_rays(camera, size, size)
+    return o.reshape(-1, 3), d.reshape(-1, 3)
+
+
+def test_kerr_mode_changes_disk_colors_only():
+    o, d = _rays()
+    h_kerr = trace.trace_rays(o, d, _scene("kerr"))
+    h_compat = trace.trace_rays(o, d, _scene("compat"))
+    np.testing.assert_array_equal(
+        np.asarray(h_kerr.result), np.asarray(h_compat.result)
+    )
+    is_disk = np.asarray(h_kerr.result) == 1
+    assert is_disk.any()
+    delta = np.abs(
+        np.asarray(h_kerr.color) - np.asarray(h_compat.color)
+    ).max(axis=-1)
+    assert (delta[~is_disk] == 0).all()
+    assert delta[is_disk].max() > 0  # the physics actually differs
+
+
+def test_kerr_mode_engine_parity_and_grad():
+    from blackhole_tpu.render import pallas_kernel
+
+    o, d = _rays(8)
+    s = _scene("kerr")
+    hx = trace.trace_rays(o, d, s)
+    hp = pallas_kernel.trace_rays_pallas(o, d, s, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(hx.color), np.asarray(hp.color), rtol=3e-5, atol=3e-5
+    )
+
+    def loss_engine(trace_fn):
+        def loss(spin):
+            sc = dataclasses.replace(
+                s, blackhole=dataclasses.replace(s.blackhole, spin=spin)
+            )
+            return jnp.mean(trace_fn(o, d, sc).color)
+        return loss
+
+    _, dv_x = jax.jvp(
+        loss_engine(trace.trace_rays),
+        (jnp.float32(0.9),), (jnp.float32(1.0),),
+    )
+    _, dv_p = jax.jvp(
+        loss_engine(
+            lambda o_, d_, s_: pallas_kernel.trace_rays_pallas(
+                o_, d_, s_, interpret=True
+            )
+        ),
+        (jnp.float32(0.9),), (jnp.float32(1.0),),
+    )
+    assert np.isfinite(float(dv_x))
+    np.testing.assert_allclose(float(dv_x), float(dv_p), rtol=2e-2,
+                               atol=1e-9)
+
+
+def test_invalid_kinematics_rejected():
+    with pytest.raises(ValueError):
+        SimConfig.create(disk_kinematics="newtonian")
