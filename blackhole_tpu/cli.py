@@ -236,6 +236,20 @@ def run_view(args):
         )
 
 
+def run_serve(args):
+    """Browser frontend (the GL/ImGui window analog, viz.server)."""
+    from blackhole_tpu.viz import server, viewer
+
+    state = viewer.ViewerState(
+        mass=args.mass, spin=args.spin, fov=args.fov,
+        distance=args.dist, steps=args.steps,
+    )
+    server.serve(
+        host=args.host, port=args.port, state=state,
+        width=args.width, height=args.height,
+    )
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(
         prog="blackhole_tpu", description=__doc__
@@ -270,6 +284,20 @@ def main(argv=None):
                     help="lensed starfield env map instead of the "
                          "gradient sky")
     pr.add_argument("--out", type=str, default="render.png")
+    ps = sub.add_parser(
+        "serve",
+        help="interactive browser viewer (progressive PNG streaming + "
+             "parameter controls; the desktop-GL-window analog)",
+    )
+    ps.add_argument("--host", type=str, default="127.0.0.1")
+    ps.add_argument("--port", type=int, default=8000)
+    ps.add_argument("--width", type=int, default=480)
+    ps.add_argument("--height", type=int, default=270)
+    ps.add_argument("--mass", type=float, default=1.0)
+    ps.add_argument("--spin", type=float, default=0.5)
+    ps.add_argument("--fov", type=float, default=22.0)
+    ps.add_argument("--dist", type=float, default=35.0)
+    ps.add_argument("--steps", type=int, default=400)
     pf = sub.add_parser(
         "fit", help="inverse rendering: recover mass/spin from an image"
     )
@@ -288,6 +316,8 @@ def main(argv=None):
         run_fit(args)
     elif args.cmd == "view":
         run_view(args)
+    elif args.cmd == "serve":
+        run_serve(args)
     return 0
 
 

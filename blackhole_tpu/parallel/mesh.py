@@ -100,19 +100,15 @@ def render_image_sharded(
             )
             return hit.color.reshape(o_blk.shape[0], width, 3)
 
+        # Varying-manual-axes checking is ON (the shard_map default):
+        # trace.init_carry derives every per-ray carry plane from the
+        # ray state itself, so the while_loop carry is uniformly
+        # varying and needs no vma escape hatch.
         frame = jax.shard_map(
             local_trace,
             mesh=mesh,
             in_specs=(P(RAY_AXIS, None, None), P(RAY_AXIS, None, None)),
             out_specs=P(RAY_AXIS, None, None),
-            # Varying-manual-axes checking stays off by necessity, not
-            # convenience: trace's while_loop carry seeds result/steps
-            # from jnp.full (unvarying under VMA typing) and updates
-            # them from per-ray state (varying), so the carry types can
-            # never match without threading the mesh axis name into
-            # trace.init_carry.  Correctness is covered instead by
-            # test_parallel's sharded==single-device equality.
-            check_vma=False,
         )(o, d)
         acc = frame if acc is None else acc + frame
     return acc / spp
@@ -174,7 +170,18 @@ def loss_and_grad_sharded(
             P(RAY_AXIS, None, None),
         ),
         out_specs=(P(), P()),
-        check_vma=False,  # same while_loop carry typing issue as above
+        # Off for THIS call only (the forward path runs with vma
+        # checking on): under value_and_grad, jax.jvp materializes the
+        # symbolic-zero TANGENT carry of the checkpointed scan as plain
+        # unvarying zero splats, while the loop body produces varying
+        # tangents — a mismatch created inside AD that callers cannot
+        # retype (trace.init_carry already derives every primal plane
+        # from varying ray state).  JAX's own error message for this
+        # case prescribes check_vma=False as the workaround
+        # (jax-ml/jax "Scan carry input and output got mismatched
+        # varying manual axes").  Correctness of this path is pinned by
+        # test_parallel.test_sharded_grad_matches_single_device.
+        check_vma=False,
     )(params, rows, target)
 
 

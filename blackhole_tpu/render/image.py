@@ -71,9 +71,11 @@ def trace_rays_fast(origins, directions, scene: Scene, engine: str = "auto",
                     order=None):
     """Forward ray tracing through the fastest available engine.
 
-    engine: "pallas" (fused TPU kernel), "xla" (while_loop path), or
+    engine: "pallas" (fused TPU kernel), "pallas_interpret" (the same
+    kernel in interpret mode — CPU-testable, used to exercise the
+    kernel under virtual shard_map meshes), "xla" (while_loop path), or
     "auto" — pallas on a TPU backend with the RK4 integrator (measured
-    ~6x the XLA path on v5e), XLA otherwise.  Both engines produce the
+    ~6x the XLA path on v5e), XLA otherwise.  All engines produce the
     same Hit records (tested to result-code equality).  Forward-only:
     the differentiable path is blackhole_tpu.grad.diff_trace.
 
@@ -91,12 +93,13 @@ def trace_rays_fast(origins, directions, scene: Scene, engine: str = "auto",
             )
             else "xla"
         )
-    if engine == "pallas":
+    if engine in ("pallas", "pallas_interpret"):
         from blackhole_tpu.render import pallas_kernel
 
         try:
             return pallas_kernel.trace_rays_pallas(
-                origins, directions, scene, order=order
+                origins, directions, scene, order=order,
+                interpret=engine == "pallas_interpret",
             )
         except Exception:  # noqa: BLE001 — lowering/compile failure
             # Graceful engine fallback, the analog of the reference's

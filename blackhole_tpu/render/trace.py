@@ -354,22 +354,29 @@ def init_carry(origins, directions, scene: Scene) -> TraceCarry:
     y, _, L, _ = geodesic.init_null_rays(
         origins, coords.normalize(directions), bh.mass, bh.a, bh.charge
     )
-    n = y.shape[:-1]
     dtype = y.dtype
     track = track_crossing(scene)
+    # Every per-ray plane is DERIVED from per-ray state (y) rather than
+    # splatted with jnp.full/zeros: under shard_map with varying-manual-
+    # axes checking, a splat is unvarying while the loop body's updates
+    # are varying, and the while_loop carry would need a vma cast at the
+    # backedge.  Deriving keeps the carry uniformly varying, so the
+    # sharded drivers (parallel.mesh) run with check_vma on.
+    zeros = y[..., geodesic.IR] * 0
+    izeros = zeros.astype(jnp.int32)
     return TraceCarry(
         y=y,
-        h=jnp.full(n, scene.config.time_step, dtype),
+        h=zeros + scene.config.time_step,
         L=L,
-        dist=jnp.zeros(n, dtype),
-        steps=jnp.zeros(n, jnp.int32),
-        result=jnp.full(n, ACTIVE, jnp.int32),
+        dist=zeros,
+        steps=izeros,
+        result=izeros + ACTIVE,
         cart=jnp.asarray(origins, dtype),
         hit_pos=jnp.asarray(origins, dtype),
         last_dir=coords.normalize(jnp.asarray(directions, dtype)),
         min_r=y[..., geodesic.IR],
         iter=jnp.zeros((), jnp.int32),
-        min_az=jnp.full(n, 1e9, dtype) if track else None,
+        min_az=zeros + 1e9 if track else None,
         gpos=jnp.asarray(origins, dtype) if track else None,
         gdir=(coords.normalize(jnp.asarray(directions, dtype))
               if track else None),

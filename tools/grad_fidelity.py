@@ -35,6 +35,12 @@ import jax.numpy as jnp
 
 if os.environ.get("GF_PLATFORM"):
     jax.config.update("jax_platforms", os.environ["GF_PLATFORM"])
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 from blackhole_tpu.geom.types import (  # noqa: E402
     BlackHole, Camera, Disk, Scene, SimConfig,
