@@ -73,14 +73,17 @@ REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
 # Total wall-clock budget for the whole bench (the driver's timeout is
 # longer; staying under this leaves margin for interpreter startup and
 # device warmup).
-BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "480"))
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "540"))
 # Conservative per-section cost estimates (compile + timed repeats, s).
-# Re-measured each round on the axon-relayed v5e; a section only starts
-# if the remaining budget exceeds its estimate.
+# Measured cold on the axon-relayed v5e (r4 calibration run: startup
+# 20 s, fwd 156 s, fwd+bwd 30 s, RKF45 fwd+bwd 60 s, parity 216 s,
+# RKF45-512 fwd 22 s; total 504 s); a section only starts if the
+# remaining budget exceeds its estimate.  Warm .jax_cache runs skip
+# most of the compile time.
 EST = {
-    "rkf45_fwdbwd": float(os.environ.get("BENCH_EST_RKF45_FWDBWD", "150")),
-    "parity": float(os.environ.get("BENCH_EST_PARITY", "120")),
-    "rkf45_fwd_512": float(os.environ.get("BENCH_EST_RKF45_FWD", "90")),
+    "rkf45_fwdbwd": float(os.environ.get("BENCH_EST_RKF45_FWDBWD", "90")),
+    "parity": float(os.environ.get("BENCH_EST_PARITY", "240")),
+    "rkf45_fwd_512": float(os.environ.get("BENCH_EST_RKF45_FWD", "50")),
 }
 
 

@@ -169,14 +169,20 @@ def bh_configure_simulation(context: BHContext, time_step,
         or tolerance <= 0.0
     ):
         return BHError.INVALID_PARAMETER
-    context.config = SimConfig.create(
-        time_step=time_step,
-        max_ray_distance=max_ray_distance,
-        max_steps=max_integration_steps,
-        tolerance=tolerance,
-        dtype=context.dtype,
-        **kw,
-    )
+    try:
+        context.config = SimConfig.create(
+            time_step=time_step,
+            max_ray_distance=max_ray_distance,
+            max_steps=max_integration_steps,
+            tolerance=tolerance,
+            dtype=context.dtype,
+            **kw,
+        )
+    except (ValueError, TypeError):
+        # Bad keyword option (e.g. disk_kinematics="newtonian"):
+        # C-API semantics return an error code, never raise
+        # (blackhole_api.c:153-177).
+        return BHError.INVALID_PARAMETER
     return BHError.SUCCESS
 
 

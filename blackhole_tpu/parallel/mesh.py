@@ -59,7 +59,7 @@ def _check_divisible(height: int, n: int):
 
 
 @partial(jax.jit, static_argnames=("width", "height", "mesh", "spp",
-                                   "engine"))
+                                   "engine", "depth_sort"))
 def render_image_sharded(
     scene: Scene,
     camera: Camera,
@@ -68,6 +68,7 @@ def render_image_sharded(
     mesh: Mesh,
     spp: int = 1,
     engine: str = "xla",
+    depth_sort: bool = False,
 ):
     """Forward render with rows sharded over the mesh.
 
@@ -75,7 +76,13 @@ def render_image_sharded(
     the result is a fully-addressable (H, W, 3) array laid out row-sharded.
     engine: "xla" (default — runs everywhere incl. the virtual CPU test
     mesh) or "pallas"/"auto" to run the fused kernel per shard on real
-    multi-chip TPU slices.
+    multi-chip TPU slices ("pallas_interpret" covers the same plumbing
+    on the CPU test mesh).
+    depth_sort (pallas engines only): each shard runs a strided prepass
+    over ITS rays (image.predicted_depth_order_rays) and re-tiles them
+    by predicted integration depth — the per-chip analog of the
+    single-chip depth-sorted tiling, with zero cross-shard
+    communication.
     """
     n = mesh.shape[RAY_AXIS]
     _check_divisible(height, n)
@@ -94,21 +101,36 @@ def render_image_sharded(
         def local_trace(o_blk, d_blk):
             from blackhole_tpu.render import image as image_mod
 
+            o_flat = o_blk.reshape(-1, 3)
+            d_flat = d_blk.reshape(-1, 3)
+            order = None
+            if depth_sort and engine in ("pallas", "pallas_interpret"):
+                order = image_mod.predicted_depth_order_rays(
+                    o_flat, d_flat, scene,
+                    interpret=engine == "pallas_interpret",
+                )
             hit = image_mod.trace_rays_fast(
-                o_blk.reshape(-1, 3), d_blk.reshape(-1, 3), scene,
-                engine,
+                o_flat, d_flat, scene, engine, order=order,
             )
             return hit.color.reshape(o_blk.shape[0], width, 3)
 
-        # Varying-manual-axes checking is ON (the shard_map default):
-        # trace.init_carry derives every per-ray carry plane from the
-        # ray state itself, so the while_loop carry is uniformly
-        # varying and needs no vma escape hatch.
+        # Varying-manual-axes checking is ON for the XLA engine (the
+        # shard_map default): trace.init_carry derives every per-ray
+        # carry plane from the ray state itself, so the while_loop
+        # carry is uniformly varying and needs no vma escape hatch.
+        # The pallas engines must turn it off: pallas_call re-traces
+        # the KERNEL BODY under vma typing, where kernel-internal
+        # constants (step coefficients, result codes) are unvarying
+        # against varying ref loads — an integration gap JAX's own
+        # error message resolves by prescribing check_vma=False.
+        # Correctness of that path is pinned by
+        # test_parallel.test_sharded_pallas_matches_single_xla.
         frame = jax.shard_map(
             local_trace,
             mesh=mesh,
             in_specs=(P(RAY_AXIS, None, None), P(RAY_AXIS, None, None)),
             out_specs=P(RAY_AXIS, None, None),
+            check_vma=engine == "xla",
         )(o, d)
         acc = frame if acc is None else acc + frame
     return acc / spp

@@ -12,6 +12,7 @@ analog of the CPU code's per-ray early exit.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -67,6 +68,35 @@ def predicted_depth_order(scene: Scene, camera: Camera, width: int,
     return jnp.argsort(-jax.lax.stop_gradient(pred).reshape(-1))
 
 
+def predicted_depth_order_rays(origins, directions, scene: Scene,
+                               stride: int = 64,
+                               interpret: bool = False):
+    """Depth-sort permutation for an ARBITRARY flat ray batch.
+
+    The image-structured variant (predicted_depth_order) runs a low-res
+    prepass and widens with a 2-D max filter; inside shard_map a device
+    only sees its flat block of rays, so this variant subsamples every
+    `stride`-th ray (row-major blocks stay spatially coherent), traces
+    them through the kernel, widens the step counts with a 1-D
+    neighborhood max (so sharp features cannot hide between samples),
+    and nearest-assigns the prediction back.  Cost: 1/stride of the
+    render.  Like the image variant, the permutation only regroups
+    rays — traces are bitwise identical after un-permuting.
+    """
+    from blackhole_tpu.render import pallas_kernel
+
+    o = jnp.asarray(origins).reshape(-1, 3)
+    d = jnp.asarray(directions).reshape(-1, 3)
+    n = o.shape[0]
+    hit = pallas_kernel.trace_rays_pallas(
+        o[::stride], d[::stride], scene, interpret=interpret
+    )
+    s = hit.steps.astype(jnp.float32)
+    s = jnp.maximum(s, jnp.maximum(jnp.roll(s, 1), jnp.roll(s, -1)))
+    pred = jnp.repeat(s, stride)[:n]
+    return jnp.argsort(-jax.lax.stop_gradient(pred))
+
+
 def trace_rays_fast(origins, directions, scene: Scene, engine: str = "auto",
                     order=None):
     """Forward ray tracing through the fastest available engine.
@@ -106,7 +136,11 @@ def trace_rays_fast(origins, directions, scene: Scene, engine: str = "auto",
             # GPU -> CPU raytrace fallback when compute shaders are
             # unavailable (renderer.cpp:1880-1887, 2086-2092).  Any
             # Mosaic lowering regression degrades to the XLA path
-            # instead of killing the render.
+            # instead of killing the render.  BH_NO_FALLBACK=1 re-raises
+            # instead — tests that claim to cover the pallas engine set
+            # it so a silent fallback cannot fake coverage.
+            if os.environ.get("BH_NO_FALLBACK") == "1":
+                raise
             from blackhole_tpu.utils import logging as bh_logging
 
             bh_logging.get_logger("render").warning(

@@ -58,6 +58,19 @@ TILE_ROWS_INTERPRET = 8
 TILE = TILE_ROWS * TILE_LANES
 
 
+
+
+def _out_vma(*xs):
+    """Varying-manual-axes set for pallas out_shapes: under shard_map
+    (check_vma on) pallas_call requires out_shape.vma; the output varies
+    over exactly the axes the ray inputs vary over.  Outside shard_map
+    every input's vma is empty and the argument is omitted-equivalent."""
+    vma = frozenset()
+    for x in xs:
+        vma = vma | getattr(jax.typeof(x), "vma", frozenset())
+    return vma
+
+
 def _rows_for(interpret: bool, multi: bool = False) -> int:
     if interpret:
         return TILE_ROWS_INTERPRET
@@ -686,7 +699,7 @@ def _get_multi_core(disk_on: bool, max_steps: int, adaptive: bool,
             ),
             out_shape=jax.ShapeDtypeStruct(
                 (grid, p * (1 + n_tan), rows, TILE_LANES),
-                jnp.float32,
+                jnp.float32, vma=_out_vma(scal, inp),
             ),
             interpret=interpret,
         )(scal, *dscals, inp, *dinps)
@@ -824,7 +837,8 @@ def _get_core(disk_on: bool, max_steps: int, adaptive: bool,
                 memory_space=pltpu.VMEM,
             ),
             out_shape=jax.ShapeDtypeStruct(
-                (grid, p, rows, TILE_LANES), jnp.float32
+                (grid, p, rows, TILE_LANES), jnp.float32,
+                vma=_out_vma(scal, inp),
             ),
             interpret=interpret,
         )(scal, inp)
@@ -862,7 +876,8 @@ def _get_core(disk_on: bool, max_steps: int, adaptive: bool,
                 memory_space=pltpu.VMEM,
             ),
             out_shape=jax.ShapeDtypeStruct(
-                (grid, 2 * p, rows, TILE_LANES), jnp.float32
+                (grid, 2 * p, rows, TILE_LANES), jnp.float32,
+                vma=_out_vma(scal, inp),
             ),
             interpret=interpret,
         )(scal, dscal, inp, dinp)

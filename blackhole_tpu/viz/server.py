@@ -122,6 +122,7 @@ class RenderServer:
         history = None
         accum_idx = 0
         jitter_idx = 0
+        psystem = None  # lazy particle pool (physics-thread analog)
         ladder = iter(animate.QUALITY_LADDER)
         while True:
             with self._lock:
@@ -182,6 +183,12 @@ class RenderServer:
                     history, accum_idx = np.asarray(hist), int(idx)
                 frame = history
                 tier_label = f"full+{accum_idx}"
+                if self.state.particles:
+                    frame, psystem = self._overlay_particles(
+                        frame, psystem, scene, camera
+                    )
+                else:
+                    psystem = None
                 if accum_idx >= self.accum_frames:
                     # Converged: idle until the next parameter change.
                     self._publish(frame, tier_label,
@@ -195,10 +202,39 @@ class RenderServer:
                                 break
                         time.sleep(0.05)
                     continue
+            if tier is not None and self.state.particles:
+                frame, psystem = self._overlay_particles(
+                    frame, psystem, scene, camera
+                )
             self._publish(frame, tier_label, time.perf_counter() - t0)
             frames += 1
             if max_frames is not None and frames >= max_frames:
                 return
+
+    def _overlay_particles(self, frame, psystem, scene, camera):
+        """Step + splat the live disk-particle pool over the frame
+        (viewer.run's overlay; renderer.cpp:1105-1226 analog)."""
+        import jax
+        import jax.numpy as jnp
+
+        from blackhole_tpu.particles import dynamics, generators
+        from blackhole_tpu.particles import system as psys_mod
+        from blackhole_tpu.viz import effects
+
+        if psystem is None:
+            psystem = psys_mod.ParticleSystem.create(self.state.n_particles)
+            psystem, _ = generators.create_accretion_disk(
+                psystem, jax.random.PRNGKey(0), self.state.n_particles,
+                scene.blackhole, scene.disk,
+            )
+        psystem = dynamics.update_particles(
+            psystem, scene.blackhole, scene.config
+        )
+        frame = np.asarray(effects.particle_overlay(
+            jnp.asarray(frame), psystem.position,
+            psystem.temperature, psystem.active, camera,
+        ))
+        return frame, psystem
 
 
 _PAGE = """<!doctype html>
@@ -343,6 +379,7 @@ def serve(host: str = "127.0.0.1", port: int = 8000,
     httpd.render_server = rs
     rt = threading.Thread(target=rs.render_loop, daemon=True)
     rt.start()
+    httpd.render_thread = rt
     st = threading.Thread(target=httpd.serve_forever, daemon=True)
     st.start()
     if block:
@@ -355,5 +392,6 @@ def serve(host: str = "127.0.0.1", port: int = 8000,
             pass
         finally:
             rs.stop()
+            rt.join(timeout=60)  # don't kill a thread mid-XLA-call
             httpd.shutdown()
     return httpd, rt

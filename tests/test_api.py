@@ -39,6 +39,14 @@ def test_config_validation():
         api.BHError.INVALID_PARAMETER
     assert api.bh_configure_simulation(context, -0.1, 100.0, 10, 1e-6) == \
         api.BHError.INVALID_PARAMETER
+    # Bad keyword options return the error code too (never raise).
+    assert api.bh_configure_simulation(
+        context, 0.1, 100.0, 10, 1e-6, disk_kinematics="newtonian"
+    ) == api.BHError.INVALID_PARAMETER
+    assert api.bh_configure_simulation(
+        context, 0.1, 100.0, 10, 1e-6, disk_kinematics="kerr"
+    ) == api.BHError.SUCCESS
+    assert context.config.disk_kinematics == "kerr"
     assert api.blackhole_get_mass(context) == 1.0
 
 

@@ -59,15 +59,36 @@ def test_sharded_pallas_matches_single_xla(mesh8):
     unpacking, vma typing with check_vma ON) is identical.
     VERDICT r3 weak #3: this composition previously had zero coverage."""
     scene, camera = scene_and_camera()
-    img_sharded = pmesh.render_image_sharded(
-        scene, camera, 16, 16, mesh8, engine="pallas_interpret"
-    )
+    import os
+
+    os.environ["BH_NO_FALLBACK"] = "1"  # a silent XLA fallback = failure
+    try:
+        img_sharded = pmesh.render_image_sharded(
+            scene, camera, 16, 16, mesh8, engine="pallas_interpret"
+        )
+    finally:
+        os.environ.pop("BH_NO_FALLBACK", None)
     img_ref = image_mod.render_image(
         scene, camera, width=16, height=16, engine="xla"
     )
     np.testing.assert_allclose(
         np.asarray(img_sharded), np.asarray(img_ref), atol=2e-5
     )
+
+
+def test_sharded_pallas_depth_sort_is_identity_on_colors(mesh8):
+    """Per-shard depth-sorted tiling (strided prepass + argsort inside
+    shard_map) must be a pure regrouping: colors bitwise-equal to the
+    unsorted sharded render."""
+    scene, camera = scene_and_camera()
+    plain = pmesh.render_image_sharded(
+        scene, camera, 16, 16, mesh8, engine="pallas_interpret"
+    )
+    sorted_ = pmesh.render_image_sharded(
+        scene, camera, 16, 16, mesh8, engine="pallas_interpret",
+        depth_sort=True,
+    )
+    np.testing.assert_array_equal(np.asarray(plain), np.asarray(sorted_))
 
 
 def test_sharded_grad_matches_single_device(mesh8):

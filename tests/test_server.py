@@ -30,6 +30,9 @@ def running_server():
         time.sleep(0.2)
     yield httpd, port
     httpd.render_server.stop()
+    # Join the render thread before interpreter teardown: a daemon
+    # thread killed mid-XLA-call can abort the process on exit.
+    httpd.render_thread.join(timeout=60)
     httpd.shutdown()
 
 
@@ -79,6 +82,30 @@ def test_command_roundtrip_and_refinement_reset(running_server):
     )
     with urllib.request.urlopen(req, timeout=30) as r:
         assert json.loads(r.read())["action"].startswith("error")
+
+
+def test_particles_overlay_renders(running_server):
+    """Turning particles on must keep frames flowing (the overlay path
+    steps the pool and splats sprites without crashing the thread)."""
+    httpd, port = running_server
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/cmd", data=b"particles on",
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=30) as r:
+        assert json.loads(r.read())["action"] == "changed"
+    seq0 = httpd.render_server.frame()[1]
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if httpd.render_server.frame()[1] > seq0 + 1:
+            break
+        time.sleep(0.2)
+    assert httpd.render_server.frame()[1] > seq0 + 1
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/cmd", data=b"particles off",
+        method="POST",
+    )
+    urllib.request.urlopen(req, timeout=30).read()
 
 
 def test_unknown_path_404(running_server):
