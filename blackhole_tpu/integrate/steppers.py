@@ -53,13 +53,20 @@ def rk4_step(f, t, y, h, args):
     return y + (h / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
 
 
-def rkf45_step(f, t, y, h, args, eps=1e-12):
+def rkf45_step(f, t, y, h, args, eps=1e-12, n_err=None):
     """One embedded Fehlberg 4(5) trial step (math_util.c:212-457).
 
     Returns (y5, max_rel_error): the 5th-order solution and the max
     per-component relative error between the embedded 4th/5th solutions,
     using the reference's scale = max(|y|, |y5|) floor at eps
     (math_util.c:376-391).  Accept/reject is the caller's responsibility.
+
+    n_err: number of leading state components included in the error max
+    (default all).  The trace path passes 6 so the slaved trig
+    components of the augmented geodesic state (geodesic.rhs_aug) stay
+    out of the error criterion — they are diagnostics of theta/phi,
+    which are already error-controlled directly, and sin/cos cross zero
+    routinely, where a relative criterion would spuriously reject.
     """
     k1 = f(t, y, args)
     k2 = f(t + _A[1] * h, y + h * (_B21 * k1), args)
@@ -79,8 +86,12 @@ def rkf45_step(f, t, y, h, args, eps=1e-12):
     y5 = y + h * (
         _D[0] * k1 + _D[2] * k3 + _D[3] * k4 + _D[4] * k5 + _D[5] * k6
     )
-    scale = jnp.maximum(jnp.maximum(jnp.abs(y), jnp.abs(y5)), eps)
-    err = jnp.max(jnp.abs(y5 - y4) / scale, axis=-1)
+    ye, y4e, y5e = (
+        (y, y4, y5) if n_err is None
+        else (y[..., :n_err], y4[..., :n_err], y5[..., :n_err])
+    )
+    scale = jnp.maximum(jnp.maximum(jnp.abs(ye), jnp.abs(y5e)), eps)
+    err = jnp.max(jnp.abs(y5e - y4e) / scale, axis=-1)
     return y5, err
 
 

@@ -39,7 +39,7 @@ from blackhole_tpu.constants import EPSILON, HORIZON_CAPTURE_FACTOR
 from blackhole_tpu.geom import coords
 from blackhole_tpu.geom.types import Hit, Integrator, RayResult, Scene
 from blackhole_tpu.integrate import sensitivity
-from blackhole_tpu.integrate import steppers as sp
+from blackhole_tpu.integrate import steppers as sp_mod
 from blackhole_tpu.render import geodesic, trace
 
 TILE_LANES = 128
@@ -84,26 +84,63 @@ def _rows_for(interpret: bool, multi: bool = False) -> int:
 #  disk_inner, disk_outer, sin_incl, cos_incl, tol]
 _N_SCAL_PLANES = 11
 # Output planes per ray set (primal or one tangent direction):
-# result, dist, steps, hit xyz, last-dir xyz, final cart xyz, min_r;
-# +7 (min_az, closest-approach pos xyz, dir xyz) when the kernel is
-# compiled with crossing-opacity tracking (trace.track_crossing — the
-# soft-boundary differentiable-rendering mode).
-_N_OUT_PLANES = 13
+# result, dist, steps, hit xyz, last-dir xyz, final (r, sin/cos th,
+# sin/cos ph), min_r; +7 (min_az, closest-approach pos xyz, dir xyz)
+# when the kernel is compiled with crossing-opacity tracking
+# (trace.track_crossing — the soft-boundary differentiable-rendering
+# mode).  The final cartesian position is reconstructed XLA-side in
+# _postprocess from the stored radius/trig planes.
+_N_OUT_PLANES = 15
 _N_TRACK_PLANES = 7
+# Input planes per ray: BL state (r, th, phi, p_r, p_th), conserved L,
+# cartesian origin (3), initial direction (3), and the initial trig
+# planes (sin/cos theta0, sin/cos phi0) computed differentiably in
+# _prepare.
+_N_INP_PLANES = 16
+
+# State-tuple slot indices (see _load_init).  The four trig slots carry
+# sin/cos of theta and phi as slaved ODE state (geodesic.rhs_aug): the
+# loop body is transcendental-free; they are renormalized to the unit
+# circle once per step.  The 7 tracking slots ride at the end under
+# trace.track_crossing.
+(_S_R, _S_TH, _S_PH, _S_PR, _S_PTH, _S_ST, _S_CT, _S_SP, _S_CP,
+ _S_DIST, _S_STEPS, _S_RESULT, _S_HX, _S_HY, _S_HZ,
+ _S_LX, _S_LY, _S_LZ, _S_T, _S_H, _S_MINR) = range(21)
+_N_BASE_STATE = 21
+_S_MINAZ = _N_BASE_STATE
+
+
+def _n_state(track: bool) -> int:
+    return _N_BASE_STATE + (7 if track else 0)
 
 
 def _n_out(track: bool) -> int:
     return _N_OUT_PLANES + (_N_TRACK_PLANES if track else 0)
 
 
-def _rhs(r, th, pr, pth, L, M, a, Q):
-    """Geodesic RHS on (8,128) tiles — same closed form as
-    blackhole_tpu.render.geodesic.rhs with E = 1 (affine normalization).
+def _zero_ctrl_tangents(ds, dzero, track: bool):
+    """Zero the tangent slots whose primal inits are constants the
+    _load_init derivation trick seeded with nonzero values: dist, steps,
+    result, and (under track) min_az.  The trig slots' tangents are
+    genuine — they load from the differentiable sin/cos input planes
+    _prepare produced."""
+    ds = list(ds)
+    for i in (_S_DIST, _S_STEPS, _S_RESULT):
+        ds[i] = dzero
+    if track:
+        ds[_S_MINAZ] = dzero
+    return tuple(ds)
+
+
+def _rhs(r, pr, pth, st, ct, sp, cp, L, M, a, Q):
+    """Geodesic RHS on tiles for the trig-augmented state — same closed
+    form as blackhole_tpu.render.geodesic.rhs_core/rhs_aug with E = 1
+    (affine normalization).  Purely rational: ZERO transcendentals per
+    evaluation (the r4 hot-loop rework; the direct form cost 2 sin/cos
+    per evaluation = 8-12 per integrator step).
     Q: Kerr-Newman charge (tm = 2Mr - Q^2 replaces every 2Mr mass term).
-    Returns (dr, dth, dph, dpr, dpth, dt)."""
+    Returns (dr, dth, dph, dpr, dpth, dt, dst, dct, dsp, dcp)."""
     E = 1.0
-    ct = jnp.cos(th)
-    st = jnp.sin(th)
     st2 = jnp.maximum(st * st, EPSILON)
     a2 = a * a
     sigma = r * r + a2 * ct * ct
@@ -112,9 +149,10 @@ def _rhs(r, th, pr, pth, L, M, a, Q):
     r2a2 = r * r + a2
     A = r2a2 * r2a2 - delta * a2 * st2
     inv_sd = 1.0 / (sigma * delta)
+    inv_sigma = 1.0 / sigma
 
-    g_rr_up = delta / sigma
-    g_thth_up = 1.0 / sigma
+    g_rr_up = delta * inv_sigma
+    g_thth_up = inv_sigma
     g_tphi_up = -tm * a * inv_sd
     g_tt_up = -A * inv_sd
     g_phph_up = (delta - a2 * st2) * inv_sd / st2
@@ -124,15 +162,15 @@ def _rhs(r, th, pr, pth, L, M, a, Q):
     dph = -g_tphi_up * E + g_phph_up * L
     dtt = -g_tt_up * E + g_tphi_up * L
 
-    # dH/dr (matches geodesic._dH_dr_batched)
+    # dH/dr (matches geodesic.rhs_core)
     dsigma = 2.0 * r
     ddelta = 2.0 * r - 2.0 * M
     dA = 4.0 * r * r2a2 - ddelta * a2 * st2
     dinv_sd = -(dsigma * delta + sigma * ddelta) * inv_sd * inv_sd
     dg_tt = -(dA * inv_sd + A * dinv_sd)
     dg_tphi = -a * (2.0 * M * inv_sd + tm * dinv_sd)
-    dg_rr = (ddelta * sigma - delta * dsigma) / (sigma * sigma)
-    dg_thth = -dsigma / (sigma * sigma)
+    dg_rr = (ddelta * sigma - delta * dsigma) * inv_sigma * inv_sigma
+    dg_thth = -dsigma * inv_sigma * inv_sigma
     dg_phph = (ddelta * inv_sd + (delta - a2 * st2) * dinv_sd) / st2
     dH_dr = 0.5 * (
         dg_tt * E * E
@@ -142,15 +180,15 @@ def _rhs(r, th, pr, pth, L, M, a, Q):
         + dg_thth * pth * pth
     )
 
-    # dH/dtheta (matches geodesic._dH_dtheta_batched)
+    # dH/dtheta (matches geodesic.rhs_core)
     dst2 = 2.0 * st * ct
     dsigma_th = -a2 * dst2
     dA_th = -delta * a2 * dst2
     dinv_sd_th = -(dsigma_th * delta) * inv_sd * inv_sd
     dg_tt_th = -(dA_th * inv_sd + A * dinv_sd_th)
     dg_tphi_th = -tm * a * dinv_sd_th
-    dg_rr_th = -delta * dsigma_th / (sigma * sigma)
-    dg_thth_th = -dsigma_th / (sigma * sigma)
+    dg_rr_th = -delta * dsigma_th * inv_sigma * inv_sigma
+    dg_thth_th = -dsigma_th * inv_sigma * inv_sigma
     num = delta - a2 * st2
     dnum = -a2 * dst2
     dg_phph_th = (
@@ -165,13 +203,17 @@ def _rhs(r, th, pr, pth, L, M, a, Q):
         + dg_rr_th * pr * pr
         + dg_thth_th * pth * pth
     )
-    return dr, dth, dph, -dH_dr, -dH_dth, dtt
+    # Slaved trig dynamics: d(sin x)/dl = cos x * dx/dl, etc.
+    return (dr, dth, dph, -dH_dr, -dH_dth, dtt,
+            ct * dth, -st * dth, cp * dph, -sp * dph)
 
 
-def _bl_to_cart(r, th, ph, a):
+def _cart(r, st, ct, sp, cp, a):
+    """Quasi-cartesian position from the carried trig — multiplies only
+    (trace.aug_to_cartesian twin)."""
     w = jnp.sqrt(r * r + a * a)
-    st, ct = jnp.sin(th), jnp.cos(th)
-    return w * st * jnp.cos(ph), w * st * jnp.sin(ph), r * ct
+    rho = w * st
+    return rho * cp, rho * sp, r * ct
 
 
 def _step_update(state, scal, disk_enabled: bool, adaptive: bool = False,
@@ -181,11 +223,18 @@ def _step_update(state, scal, disk_enabled: bool, adaptive: bool = False,
     forward kernel and the tangent-augmented (JVP) kernels, where it is
     differentiated in forward mode *inside* the Pallas kernel.
 
-    state: (r, th, ph, pr, pth, cx, cy, cz, dist, steps, result,
-            hx, hy, hz, lx, ly, lz, t, h, min_r
-            [, min_az, gx, gy, gz, gdx, gdy, gdz when track])
+    state (see the _S_* slot constants):
+      (r, th, ph, pr, pth, sth, cth, sph, cph,
+       dist, steps, result, hx, hy, hz, lx, ly, lz, t, h, min_r
+       [, min_az, gx, gy, gz, gdx, gdy, gdz when track])
     scal:  (M, a, Q, dt, max_dist, r_capture, disk_inner, disk_outer,
             sin_incl, cos_incl, tol, L)  [L rides with scal: per-ray const]
+
+    The loop body evaluates ZERO transcendentals: sin/cos of theta and
+    phi are slaved ODE components (geodesic.rhs_aug) advanced by the
+    same stages as the trajectory and renormalized each step, and the
+    cartesian conversion uses them directly.  Identical arithmetic to
+    trace.trace_step — the parity tests compare the two engines.
 
     track: carry the crossing-opacity planes (closest in-band approach
     to the disk plane + position/direction there) — identical tracking
@@ -199,10 +248,11 @@ def _step_update(state, scal, disk_enabled: bool, adaptive: bool = False,
     math_util.c:212-457; the reference's GPU kernel also adapts in-loop,
     ray_tracer.comp:522-541).
     """
-    (r, th, ph, pr, pth, cx, cy, cz, dist, steps, result,
-     hx, hy, hz, lx, ly, lz, tt, h_carry, min_r) = state[:20]
+    (r, th, ph, pr, pth, sth, cth, sph, cph,
+     dist, steps, result, hx, hy, hz, lx, ly, lz,
+     tt, h_carry, min_r) = state[:21]
     if track:
-        (min_az, gx, gy, gz, gdx, gdy, gdz) = state[20:]
+        (min_az, gx, gy, gz, gdx, gdy, gdz) = state[21:]
     (M, a, Q, dt, max_dist, r_capture, disk_inner, disk_outer,
      sin_incl, cos_incl, tol, L) = scal
     active = result == float(trace.ACTIVE)
@@ -216,90 +266,94 @@ def _step_update(state, scal, disk_enabled: bool, adaptive: bool = False,
         h = jnp.minimum(h, 0.5 * (r - r_capture) + 1e-3 * dt)
         h = jnp.maximum(h, 1e-4 * dt)
 
+    cur = (r, th, ph, pr, pth, tt, sth, cth, sph, cph)
+
+    def eval_rhs(c):
+        return _rhs(c[0], c[3], c[4], c[6], c[7], c[8], c[9],
+                    L, M, a, Q)
+
+    def k_to_cur_order(k):
+        # _rhs returns state-layout order (r, th, ph, pr, pth, t, trig);
+        # `cur` uses (r, th, ph, pr, pth, t, st, ct, sp, cp) — identical
+        # ordering, so this is the identity; kept for clarity.
+        return k
+
+    def advance_cur(c, *terms):
+        """c + sum(coeff * k) per component."""
+        out = []
+        for comp in range(10):
+            acc = c[comp]
+            for coeff, k in terms:
+                acc = acc + coeff * k[comp]
+            out.append(acc)
+        return tuple(out)
+
     if not adaptive:
-        # RK4 over (r, th, ph, pr, pth, t).
-        k1 = _rhs(r, th, pr, pth, L, M, a, Q)
-        k2 = _rhs(
-            r + 0.5 * h * k1[0], th + 0.5 * h * k1[1],
-            pr + 0.5 * h * k1[3], pth + 0.5 * h * k1[4], L, M, a, Q,
-        )
-        k3 = _rhs(
-            r + 0.5 * h * k2[0], th + 0.5 * h * k2[1],
-            pr + 0.5 * h * k2[3], pth + 0.5 * h * k2[4], L, M, a, Q,
-        )
-        k4 = _rhs(
-            r + h * k3[0], th + h * k3[1],
-            pr + h * k3[3], pth + h * k3[4], L, M, a, Q,
-        )
+        # RK4 over the augmented 10-state.
+        k1 = eval_rhs(cur)
+        k2 = eval_rhs(advance_cur(cur, (0.5 * h, k1)))
+        k3 = eval_rhs(advance_cur(cur, (0.5 * h, k2)))
+        k4 = eval_rhs(advance_cur(cur, (h, k3)))
         sixth = h / 6.0
-        r_t = r + sixth * (k1[0] + 2.0 * (k2[0] + k3[0]) + k4[0])
-        th_t = th + sixth * (k1[1] + 2.0 * (k2[1] + k3[1]) + k4[1])
-        ph_t = ph + sixth * (k1[2] + 2.0 * (k2[2] + k3[2]) + k4[2])
-        pr_t = pr + sixth * (k1[3] + 2.0 * (k2[3] + k3[3]) + k4[3])
-        pth_t = pth + sixth * (k1[4] + 2.0 * (k2[4] + k3[4]) + k4[4])
-        t_t = tt + sixth * (k1[5] + 2.0 * (k2[5] + k3[5]) + k4[5])
+        new = []
+        for comp in range(10):
+            new.append(
+                cur[comp] + sixth * (
+                    k1[comp] + 2.0 * (k2[comp] + k3[comp]) + k4[comp]
+                )
+            )
+        (r_t, th_t, ph_t, pr_t, pth_t, t_t,
+         sth_t, cth_t, sph_t, cph_t) = new
         accepted = active | ~active  # all-True, same shape as active
         h_next = h_carry
     else:
         # Embedded Fehlberg 4(5) pair (steppers tableau constants).
-        def comb(*cs):
-            """Per-component linear combination of stages: cs pairs
-            (coeff, k)."""
-            out = []
-            for comp in range(6):
-                acc = None
-                for coeff, k in cs:
-                    term = coeff * k[comp]
-                    acc = term if acc is None else acc + term
-                out.append(acc)
-            return out
+        k1 = eval_rhs(cur)
+        k2 = eval_rhs(advance_cur(cur, (h * sp_mod._B21, k1)))
+        k3 = eval_rhs(advance_cur(
+            cur, (h * sp_mod._B31, k1), (h * sp_mod._B32, k2)))
+        k4 = eval_rhs(advance_cur(
+            cur, (h * sp_mod._B41, k1), (h * sp_mod._B42, k2),
+            (h * sp_mod._B43, k3)))
+        k5 = eval_rhs(advance_cur(
+            cur, (h * sp_mod._B51, k1), (h * sp_mod._B52, k2),
+            (h * sp_mod._B53, k3), (h * sp_mod._B54, k4)))
+        k6 = eval_rhs(advance_cur(
+            cur, (h * sp_mod._B61, k1), (h * sp_mod._B62, k2),
+            (h * sp_mod._B63, k3), (h * sp_mod._B64, k4),
+            (h * sp_mod._B65, k5)))
 
-        k1 = _rhs(r, th, pr, pth, L, M, a, Q)
-        s2 = comb((sp._B21, k1))
-        k2 = _rhs(r + h * s2[0], th + h * s2[1],
-                  pr + h * s2[3], pth + h * s2[4], L, M, a, Q)
-        s3 = comb((sp._B31, k1), (sp._B32, k2))
-        k3 = _rhs(r + h * s3[0], th + h * s3[1],
-                  pr + h * s3[3], pth + h * s3[4], L, M, a, Q)
-        s4 = comb((sp._B41, k1), (sp._B42, k2), (sp._B43, k3))
-        k4 = _rhs(r + h * s4[0], th + h * s4[1],
-                  pr + h * s4[3], pth + h * s4[4], L, M, a, Q)
-        s5 = comb((sp._B51, k1), (sp._B52, k2), (sp._B53, k3),
-                  (sp._B54, k4))
-        k5 = _rhs(r + h * s5[0], th + h * s5[1],
-                  pr + h * s5[3], pth + h * s5[4], L, M, a, Q)
-        s6 = comb((sp._B61, k1), (sp._B62, k2), (sp._B63, k3),
-                  (sp._B64, k4), (sp._B65, k5))
-        k6 = _rhs(r + h * s6[0], th + h * s6[1],
-                  pr + h * s6[3], pth + h * s6[4], L, M, a, Q)
-
-        y4 = comb((sp._C[0], k1), (sp._C[2], k3), (sp._C[3], k4),
-                  (sp._C[4], k5))
-        y5 = comb((sp._D[0], k1), (sp._D[2], k3), (sp._D[3], k4),
-                  (sp._D[4], k5), (sp._D[5], k6))
-        cur = (r, th, ph, pr, pth, tt)
-        y4 = [c + h * v for c, v in zip(cur, y4)]
-        y5 = [c + h * v for c, v in zip(cur, y5)]
-        # Max per-component relative error with scale = max(|y|, |y5|)
-        # floored at 1e-12 — identical to steppers.rkf45_step (which
-        # mirrors math_util.c:376-391); |y| is the pre-step value.
+        y4 = advance_cur(
+            cur, (h * sp_mod._C[0], k1), (h * sp_mod._C[2], k3),
+            (h * sp_mod._C[3], k4), (h * sp_mod._C[4], k5))
+        y5 = advance_cur(
+            cur, (h * sp_mod._D[0], k1), (h * sp_mod._D[2], k3),
+            (h * sp_mod._D[3], k4), (h * sp_mod._D[4], k5),
+            (h * sp_mod._D[5], k6))
+        # Max per-component relative error over the 6 PHYSICAL
+        # components with scale = max(|y|, |y5|) floored at 1e-12 —
+        # identical to steppers.rkf45_step with n_err=6 (mirroring
+        # math_util.c:376-391; the slaved trig components stay out of
+        # the criterion, see the steppers docstring).
         err = None
-        for c0, c4, c5 in zip(cur, y4, y5):
+        for comp in range(trace.N_ERR_COMPONENTS):
+            c0, c4, c5 = cur[comp], y4[comp], y5[comp]
             scale = jnp.maximum(jnp.maximum(jnp.abs(c0), jnp.abs(c5)),
                                 1e-12)
             e = jnp.abs(c5 - c4) / scale
             err = e if err is None else jnp.maximum(err, e)
 
-        r_t, th_t, ph_t, pr_t, pth_t, t_t = y5
+        (r_t, th_t, ph_t, pr_t, pth_t, t_t,
+         sth_t, cth_t, sph_t, cph_t) = y5
         accepted = err <= tol
         # Step-size controller (steppers.rkf45_next_h + trace clamps).
         ratio = jnp.maximum(err / tol, 1e-30)
         log_ratio = jnp.log(ratio)
-        scale_ok = sp.SAFETY * jnp.exp(-0.2 * log_ratio)
-        scale_bad = sp.SAFETY * jnp.exp(-0.25 * log_ratio)
+        scale_ok = sp_mod.SAFETY * jnp.exp(-0.2 * log_ratio)
+        scale_bad = sp_mod.SAFETY * jnp.exp(-0.25 * log_ratio)
         sc = jnp.where(accepted, scale_ok, scale_bad)
-        sc = jnp.where(err / tol <= 0.0, sp.MAX_SCALE, sc)
-        h_next = h * jnp.clip(sc, sp.MIN_SCALE, sp.MAX_SCALE)
+        sc = jnp.where(err / tol <= 0.0, sp_mod.MAX_SCALE, sc)
+        h_next = h * jnp.clip(sc, sp_mod.MIN_SCALE, sp_mod.MAX_SCALE)
         h_next = jnp.clip(h_next, 1e-4 * dt, 50.0 * dt)
         h_next = jnp.minimum(h_next, 0.5 * (r - r_capture) + 1e-3 * dt)
         h_next = jnp.maximum(h_next, 1e-5 * dt)
@@ -315,9 +369,22 @@ def _step_update(state, scal, disk_enabled: bool, adaptive: bool = False,
     pr_n = jnp.where(advance, pr_t, pr)
     pth_n = jnp.where(advance, pth_t, pth)
     t_n = jnp.where(advance, t_t, tt)
+    sth_n = jnp.where(advance, sth_t, sth)
+    cth_n = jnp.where(advance, cth_t, cth)
+    sph_n = jnp.where(advance, sph_t, sph)
+    cph_n = jnp.where(advance, cph_t, cph)
     h_new = jnp.where(active, h_next, h_carry)
 
-    cx_n, cy_n, cz_n = _bl_to_cart(r_n, th_n, ph_n, a)
+    # Unit-circle renormalization (trace.renormalize_trig twin).
+    n_th = jax.lax.rsqrt(jnp.maximum(sth_n * sth_n + cth_n * cth_n, 0.25))
+    sth_n = sth_n * n_th
+    cth_n = cth_n * n_th
+    n_ph = jax.lax.rsqrt(jnp.maximum(sph_n * sph_n + cph_n * cph_n, 0.25))
+    sph_n = sph_n * n_ph
+    cph_n = cph_n * n_ph
+
+    cx, cy, cz = _cart(r, sth, cth, sph, cph, a)
+    cx_n, cy_n, cz_n = _cart(r_n, sth_n, cth_n, sph_n, cph_n, a)
     dxc = cx_n - cx
     dyc = cy_n - cy
     dzc = cz_n - cz
@@ -410,14 +477,11 @@ def _step_update(state, scal, disk_enabled: bool, adaptive: bool = False,
     hy = jnp.where(escaped, cy_n, hy)
     hz = jnp.where(escaped, cz_n, hz)
 
-    cx_k = jnp.where(advance, cx_n, cx)
-    cy_k = jnp.where(advance, cy_n, cy)
-    cz_k = jnp.where(advance, cz_n, cz)
     # NOT active.astype(f32) + add: Mosaic (as of jax 0.9) fails with an
     # "Invalid relayout" on bool->f32 vector casts here.
     steps_n = jnp.where(active, steps + 1.0, steps)
     min_r_n = jnp.where(advance, jnp.minimum(min_r, r_n), min_r)
-    out = (r_n, th_n, ph_n, pr_n, pth_n, cx_k, cy_k, cz_k,
+    out = (r_n, th_n, ph_n, pr_n, pth_n, sth_n, cth_n, sph_n, cph_n,
            dist_n, steps_n, result, hx, hy, hz, lx_n, ly_n, lz_n,
            t_n, h_new, min_r_n)
     if track:
@@ -441,6 +505,10 @@ def _load_init(inp_ref, base, h0, track: bool = False):
     ldx0 = inp_ref[base, 9]
     ldy0 = inp_ref[base, 10]
     ldz0 = inp_ref[base, 11]
+    sth0 = inp_ref[base, 12]
+    cth0 = inp_ref[base, 13]
+    sph0 = inp_ref[base, 14]
+    cph0 = inp_ref[base, 15]
     # r0 is loaded from VMEM, so it carries a non-replicated vector
     # layout; derive every init value from it.  A jnp.zeros_like /
     # jnp.full splat would enter the while carry with a *replicated*
@@ -449,9 +517,9 @@ def _load_init(inp_ref, base, h0, track: bool = False):
     # rejects ("Invalid relayout", jax 0.9).
     zeros = r0 * 0.0
     result0 = zeros + float(trace.ACTIVE)
-    state = (r0, th0, ph0, pr0, pth0, cx0, cy0, cz0, zeros, zeros,
-             result0, cx0, cy0, cz0, ldx0, ldy0, ldz0, zeros,
-             zeros + h0, r0)
+    state = (r0, th0, ph0, pr0, pth0, sth0, cth0, sph0, cph0,
+             zeros, zeros, result0, cx0, cy0, cz0, ldx0, ldy0, ldz0,
+             zeros, zeros + h0, r0)
     if track:
         # min_az starts far (1e9, matches trace.init_carry); closest-
         # approach pos/dir start at the ray origin/direction.
@@ -460,26 +528,30 @@ def _load_init(inp_ref, base, h0, track: bool = False):
 
 
 def _store_out(out_ref, offset, state, track: bool = False):
-    """Write the _n_out(track) output planes starting at `offset`."""
-    (r_f, _, _, _, _, cx_f, cy_f, cz_f, dist_f, steps_f,
-     result_f, hx_f, hy_f, hz_f, lx_f, ly_f, lz_f, _t, _h,
-     min_r_f) = state[:20]
-    out_ref[0, offset + 0] = result_f
-    out_ref[0, offset + 1] = dist_f
-    out_ref[0, offset + 2] = steps_f
-    out_ref[0, offset + 3] = hx_f
-    out_ref[0, offset + 4] = hy_f
-    out_ref[0, offset + 5] = hz_f
-    out_ref[0, offset + 6] = lx_f
-    out_ref[0, offset + 7] = ly_f
-    out_ref[0, offset + 8] = lz_f
-    out_ref[0, offset + 9] = cx_f
-    out_ref[0, offset + 10] = cy_f
-    out_ref[0, offset + 11] = cz_f
-    out_ref[0, offset + 12] = min_r_f
+    """Write the _n_out(track) output planes starting at `offset`.
+
+    Final cartesian reconstruction happens XLA-side in _postprocess
+    (it needs primal x tangent cross terms the per-set tangent stores
+    here cannot form), so the final BL radius and trig planes are
+    stored raw."""
+    out_ref[0, offset + 0] = state[_S_RESULT]
+    out_ref[0, offset + 1] = state[_S_DIST]
+    out_ref[0, offset + 2] = state[_S_STEPS]
+    out_ref[0, offset + 3] = state[_S_HX]
+    out_ref[0, offset + 4] = state[_S_HY]
+    out_ref[0, offset + 5] = state[_S_HZ]
+    out_ref[0, offset + 6] = state[_S_LX]
+    out_ref[0, offset + 7] = state[_S_LY]
+    out_ref[0, offset + 8] = state[_S_LZ]
+    out_ref[0, offset + 9] = state[_S_R]
+    out_ref[0, offset + 10] = state[_S_ST]
+    out_ref[0, offset + 11] = state[_S_CT]
+    out_ref[0, offset + 12] = state[_S_SP]
+    out_ref[0, offset + 13] = state[_S_CP]
+    out_ref[0, offset + 14] = state[_S_MINR]
     if track:
-        for k, v in enumerate(state[20:]):
-            out_ref[0, offset + 13 + k] = v
+        for k in range(_N_TRACK_PLANES):
+            out_ref[0, offset + 15 + k] = state[_S_MINAZ + k]
 
 
 def _make_kernel(disk_enabled: bool, max_steps: int, adaptive: bool,
@@ -506,7 +578,7 @@ def _make_kernel(disk_enabled: bool, max_steps: int, adaptive: bool,
             new = _step_update(tuple(state), scal, disk_enabled, adaptive,
                                track)
             n_active = jnp.sum(
-                (new[10] == float(trace.ACTIVE)).astype(jnp.int32)
+                (new[_S_RESULT] == float(trace.ACTIVE)).astype(jnp.int32)
             ).astype(jnp.int32)
             return (i + 1, n_active) + new
 
@@ -540,13 +612,11 @@ def _make_kernel_jvp(disk_enabled: bool, max_steps: int, adaptive: bool,
         state0 = _load_init(inp_ref, 0, scal[3], track)
         dstate0 = _load_init(dinp_ref, 0, dscal[3], track)
         # Tangents of (dist, steps, result) start at exact zero; the
-        # _load_init trick put result0 = ACTIVE into slot 10 of the
-        # tangent tuple, so rebuild those three slots from dinp zeros.
-        # Same for min_az (slot 20): its 1e9 init is a constant.
+        # _load_init trick put result0 = ACTIVE into the tangent tuple's
+        # result slot, so rebuild those slots from dinp zeros.  Same for
+        # min_az: its 1e9 init is a constant.
         dzero = dinp_ref[0, 0] * 0.0
-        dstate0 = dstate0[:8] + (dzero, dzero, dzero) + dstate0[11:]
-        if track:
-            dstate0 = dstate0[:20] + (dzero,) + dstate0[21:]
+        dstate0 = _zero_ctrl_tangents(dstate0, dzero, track)
 
         n_state = len(state0)
 
@@ -569,7 +639,7 @@ def _make_kernel_jvp(disk_enabled: bool, max_steps: int, adaptive: bool,
             dstate = tuple(carry[2 + n_state:])
             new, dnew = jax.jvp(f, (state, scal), (dstate, dscal))
             n_active = jnp.sum(
-                (new[10] == float(trace.ACTIVE)).astype(jnp.int32)
+                (new[_S_RESULT] == float(trace.ACTIVE)).astype(jnp.int32)
             ).astype(jnp.int32)
             return (i + 1, n_active) + new + dnew
 
@@ -615,12 +685,11 @@ def _make_kernel_jvp_multi(disk_enabled: bool, max_steps: int,
         for t in range(n_tan):
             ds = _load_init(dinp_refs[t], 0, dscals[t][3], track)
             dzero = dinp_refs[t][0, 0] * 0.0
-            # Slots 8..10 (dist, steps, result) start at exact zero
-            # (same fix-up as _make_kernel_jvp); slot 20 (min_az) too.
-            ds = ds[:8] + (dzero, dzero, dzero) + ds[11:]
-            if track:
-                ds = ds[:20] + (dzero,) + ds[21:]
-            dstates0.append(ds)
+            # (dist, steps, result, min_az) tangents start at exact
+            # zero (same fix-up as _make_kernel_jvp).
+            dstates0.append(
+                _zero_ctrl_tangents(ds, dzero, track)
+            )
 
         def f(state, scal_in):
             # Same per-step tangent guard as _make_kernel_jvp; applied
@@ -647,7 +716,7 @@ def _make_kernel_jvp_multi(disk_enabled: bool, max_steps: int,
                                     (dstate, dscals[t]))
                 dnews = dnews + dnew
             n_active = jnp.sum(
-                (new[10] == float(trace.ACTIVE)).astype(jnp.int32)
+                (new[_S_RESULT] == float(trace.ACTIVE)).astype(jnp.int32)
             ).astype(jnp.int32)
             return (i + 1, n_active) + new + dnews
 
@@ -683,7 +752,7 @@ def _get_multi_core(disk_on: bool, max_steps: int, adaptive: bool,
             memory_space=pltpu.VMEM,
         )
         inp_spec = pl.BlockSpec(
-            (1, 12, rows, TILE_LANES),
+            (1, _N_INP_PLANES, rows, TILE_LANES),
             lambda g: (g, 0, 0, 0),
             memory_space=pltpu.VMEM,
         )
@@ -826,7 +895,7 @@ def _get_core(disk_on: bool, max_steps: int, adaptive: bool,
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (1, 12, rows, TILE_LANES),
+                    (1, _N_INP_PLANES, rows, TILE_LANES),
                     lambda g: (g, 0, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
@@ -860,12 +929,12 @@ def _get_core(disk_on: bool, max_steps: int, adaptive: bool,
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (1, 12, rows, TILE_LANES),
+                    (1, _N_INP_PLANES, rows, TILE_LANES),
                     lambda g: (g, 0, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (1, 12, rows, TILE_LANES),
+                    (1, _N_INP_PLANES, rows, TILE_LANES),
                     lambda g: (g, 0, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
@@ -953,21 +1022,25 @@ def _prepare(origins, directions, scene: Scene, rows: int = TILE_ROWS):
     cfg = scene.config
     disk = scene.disk
 
-    # Ray initialization (exact, autodiff-based) outside the kernel.
-    y, _, L, _ = geodesic.init_null_rays(
-        o, coords.normalize(d), bh.mass, bh.a, bh.charge
-    )
+    # Ray initialization (exact, autodiff-based) outside the kernel;
+    # the trig-augmented state's sin/cos planes are computed here, once,
+    # differentiably — the kernel loop never evaluates a transcendental.
     ld = coords.normalize(d)
+    y, _, L, _ = geodesic.init_null_rays_aug(
+        o, ld, bh.mass, bh.a, bh.charge
+    )
     comps = jnp.stack(
         [
             y[:, 0], y[:, 1], y[:, 2], y[:, 3], y[:, 4], L,
             o[:, 0], o[:, 1], o[:, 2], ld[:, 0], ld[:, 1], ld[:, 2],
+            y[:, geodesic.IST], y[:, geodesic.ICT],
+            y[:, geodesic.ISP], y[:, geodesic.ICP],
         ],
         axis=0,
-    ).astype(jnp.float32)  # (12, n_total)
-    inp = comps.reshape(12, grid, rows, TILE_LANES).transpose(
+    ).astype(jnp.float32)  # (_N_INP_PLANES, n_total)
+    inp = comps.reshape(_N_INP_PLANES, grid, rows, TILE_LANES).transpose(
         1, 0, 2, 3
-    )  # (grid, 12, rows, 128)
+    )  # (grid, _N_INP_PLANES, rows, 128)
 
     r_capture = HORIZON_CAPTURE_FACTOR * bh.r_plus
     scal = jnp.stack(
@@ -1007,21 +1080,29 @@ def _postprocess(out, n: int, batch_shape, scene: Scene,
     result = jnp.where(
         result == trace.ACTIVE, RayResult.MAX_STEPS, result
     )
+    # Rebuild the augmented state's position/trig slots from the output
+    # planes (finalize's aug_to_cartesian reads r and the trig planes;
+    # the other components are not consumed post-loop).
+    zcol = flat[9] * 0.0
+    y_fin = jnp.stack(
+        [flat[9], zcol, zcol, zcol, zcol, zcol,
+         flat[10], flat[11], flat[12], flat[13]],
+        axis=-1,
+    )
     carry = trace.TraceCarry(
-        y=jnp.zeros((n, 6), jnp.float32),
+        y=y_fin,
         h=jnp.zeros((n,), jnp.float32),
         L=jnp.zeros((n,), jnp.float32) if L is None else L,
         dist=flat[1],
         steps=jax.lax.stop_gradient(flat[2]).astype(jnp.int32),
         result=result,
-        cart=flat[9:12].T,
         hit_pos=flat[3:6].T,
         last_dir=flat[6:9].T,
-        min_r=flat[12],
+        min_r=flat[14],
         iter=jnp.zeros((), jnp.int32),
-        min_az=flat[13] if track else None,
-        gpos=flat[14:17].T if track else None,
-        gdir=flat[17:20].T if track else None,
+        min_az=flat[15] if track else None,
+        gpos=flat[16:19].T if track else None,
+        gdir=flat[19:22].T if track else None,
     )
     hit = trace.finalize(carry, scene)
     return jax.tree_util.tree_map(

@@ -17,6 +17,16 @@ differences from the C engine, driven by the TPU execution model:
 * RKF45 keeps per-ray step size + accept/reject state in the carry
   (math_util.c:212-457 semantics), with rejected trials burning a loop
   iteration exactly like the reference's retry counting.
+
+Hot-loop arithmetic (r4): the integration state is the trig-AUGMENTED
+form (geodesic.rhs_aug) — sin/cos of theta and phi ride as slaved ODE
+components with exact dynamics, renormalized to the unit circle once
+per accepted step — so a step evaluates ZERO transcendentals: the RHS
+is purely rational in the carried values and the per-step cartesian
+conversion (disk test, chords) is multiplies only.  The direct form
+cost 8-12 sin/cos per RK4 step.  Unlike a u = cos(theta) chart change,
+this keeps theta's analytic continuation through the poles, so
+polar-plane rays (L ~ 0) stay regular.
 """
 
 from __future__ import annotations
@@ -36,16 +46,20 @@ from blackhole_tpu.render import geodesic, shading
 
 ACTIVE = -1  # sentinel result code while a ray is still integrating
 
+# RKF45 error criterion spans the 6 physical components only (r, theta,
+# phi, p_r, p_theta, t) — identical to the pre-augmentation semantics
+# and the reference's per-component relative error (math_util.c:376-391).
+N_ERR_COMPONENTS = 6
+
 
 class TraceCarry(NamedTuple):
-    y: jnp.ndarray  # (N, 6) geodesic state
+    y: jnp.ndarray  # (N, 10) trig-augmented geodesic state
     h: jnp.ndarray  # (N,) current step size (used by adaptive mode)
     L: jnp.ndarray  # (N,) conserved angular momentum (E normalized to 1)
     dist: jnp.ndarray  # (N,) accumulated cartesian path length
     steps: jnp.ndarray  # (N,) int32 steps taken
     result: jnp.ndarray  # (N,) int32; ACTIVE while integrating
-    cart: jnp.ndarray  # (N, 3) current cartesian position
-    hit_pos: jnp.ndarray  # (N, 3) recorded hit position
+    hit_pos: jnp.ndarray  # (N, 3) recorded hit position (cartesian)
     last_dir: jnp.ndarray  # (N, 3) unit direction of last step chord
     min_r: jnp.ndarray  # (N,) closest BL radial approach so far
     iter: jnp.ndarray  # () int32 global iteration counter
@@ -89,6 +103,38 @@ def _disk_plane_radius(cart, incl):
     return jnp.sqrt(x * x + yp * yp)
 
 
+def aug_to_cartesian(y, a):
+    """Quasi-cartesian position from the trig-augmented state —
+    multiplies only (the carried sin/cos replace per-step trig):
+    x = sqrt(r^2+a^2) sin th cos ph, y = ... sin ph, z = r cos th."""
+    r = y[..., geodesic.IR]
+    st, ct = y[..., geodesic.IST], y[..., geodesic.ICT]
+    sp, cp = y[..., geodesic.ISP], y[..., geodesic.ICP]
+    w = jnp.sqrt(r * r + a * a)
+    rho = w * st
+    return jnp.stack([rho * cp, rho * sp, r * ct], axis=-1)
+
+
+def renormalize_trig(y):
+    """Project the slaved (sin, cos) pairs back to the unit circle.
+
+    The augmented flow preserves s^2 + c^2 = 1 exactly in continuum;
+    the integrator drifts it by O(local truncation error) per step, and
+    this projection (applied once per step) keeps the drift from
+    compounding.  Phase error is NOT corrected — it is the same order
+    as the trajectory's own truncation error, i.e. already paid.
+    Grad-safe: the radicand is bounded away from 0 near the unit
+    circle."""
+    st, ct = y[..., geodesic.IST], y[..., geodesic.ICT]
+    sp, cp = y[..., geodesic.ISP], y[..., geodesic.ICP]
+    n_th = jax.lax.rsqrt(jnp.maximum(st * st + ct * ct, 0.25))
+    n_ph = jax.lax.rsqrt(jnp.maximum(sp * sp + cp * cp, 0.25))
+    return y.at[..., geodesic.IST].set(st * n_th) \
+            .at[..., geodesic.ICT].set(ct * n_th) \
+            .at[..., geodesic.ISP].set(sp * n_ph) \
+            .at[..., geodesic.ICP].set(cp * n_ph)
+
+
 def step_size_schedule(r, time_step, M, r_capture):
     """Smooth per-ray step size.
 
@@ -104,13 +150,16 @@ def step_size_schedule(r, time_step, M, r_capture):
 
 
 def make_step_fn(scene: Scene):
-    """Returns (rhs_step, adaptive) for the configured integrator."""
+    """Returns (rhs_step, adaptive) for the configured integrator.
+
+    All integrators advance the trig-augmented 10-state via
+    geodesic.rhs_aug."""
     M = scene.blackhole.mass
     a = scene.blackhole.a
     Qc = scene.blackhole.charge
 
     def f(t, y, L):
-        return geodesic.rhs(y, 1.0, L, M, a, Qc)
+        return geodesic.rhs_aug(y, 1.0, L, M, a, Qc)
 
     integ = scene.config.integrator
     if integ == Integrator.RK4:
@@ -121,54 +170,60 @@ def make_step_fn(scene: Scene):
         return step, False
     if integ == Integrator.RKF45:
         def step(y, h, L):
-            return steppers.rkf45_step(f, 0.0, y, h[..., None], L)
+            return steppers.rkf45_step(
+                f, 0.0, y, h[..., None], L, n_err=N_ERR_COMPONENTS
+            )
         return step, True
     if integ in (Integrator.LEAPFROG, Integrator.YOSHIDA):
-        # Split state: x = (r, theta, phi, t) advances with dx/dl = dH/dp
-        # evaluated at current p; p = (p_r, p_theta) with dp/dl = -dH/dx.
-        # The Hamiltonian is not separable, so this is a semi-explicit
-        # (symplectic-Euler-flavored) composition — implements the
-        # capability the reference stubs out (raytracer.c:616-624).
+        # Split state: x = (r, theta, phi, t, sin/cos planes) advances
+        # with dx/dl = dH/dp evaluated at current p; p = (p_r, p_theta)
+        # with dp/dl = -dH/dx.  The Hamiltonian is not separable, so
+        # this is a semi-explicit (symplectic-Euler-flavored)
+        # composition — implements the capability the reference stubs
+        # out (raytracer.c:616-624).
+        POS = (geodesic.IR, geodesic.ITH, geodesic.IPH, geodesic.IT,
+               geodesic.IST, geodesic.ICT, geodesic.ISP, geodesic.ICP)
+        MOM = (geodesic.IPR, geodesic.IPT)
+
+        def assemble(x, v):
+            comps = [None] * geodesic.NAUG
+            for i, idx in enumerate(POS):
+                comps[idx] = x[..., i]
+            for i, idx in enumerate(MOM):
+                comps[idx] = v[..., i]
+            return jnp.stack(comps, axis=-1)
+
         def accel(t, x, v, L):
-            y = jnp.concatenate(
-                [x[..., :3], v[..., :2], x[..., 3:4]], axis=-1
-            )
-            d = geodesic.rhs(y, 1.0, L, M, a, Qc)
-            return d[..., 3:5]
+            d = geodesic.rhs_aug(assemble(x, v), 1.0, L, M, a, Qc)
+            return jnp.stack([d[..., i] for i in MOM], axis=-1)
 
         def drift(x, v, h, L):
-            y = jnp.concatenate(
-                [x[..., :3], v[..., :2], x[..., 3:4]], axis=-1
-            )
-            d = geodesic.rhs(y, 1.0, L, M, a, Qc)
-            dx = jnp.concatenate([d[..., :3], d[..., 5:6]], axis=-1)
+            d = geodesic.rhs_aug(assemble(x, v), 1.0, L, M, a, Qc)
+            dx = jnp.stack([d[..., i] for i in POS], axis=-1)
             return x + h * dx
+
+        def split(y):
+            x = jnp.stack([y[..., i] for i in POS], axis=-1)
+            v = jnp.stack([y[..., i] for i in MOM], axis=-1)
+            return x, v
 
         if integ == Integrator.LEAPFROG:
             def step(y, h, L):
                 hh = h[..., None]
-                x = jnp.concatenate([y[..., :3], y[..., 5:6]], axis=-1)
-                v = y[..., 3:5]
+                x, v = split(y)
                 v = v + 0.5 * hh * accel(0.0, x, v, L)
                 x = drift(x, v, hh, L)
                 v = v + 0.5 * hh * accel(0.0, x, v, L)
-                y_new = jnp.concatenate(
-                    [x[..., :3], v, x[..., 3:4]], axis=-1
-                )
-                return y_new, jnp.zeros(y.shape[:-1], y.dtype)
+                return assemble(x, v), jnp.zeros(y.shape[:-1], y.dtype)
         else:  # YOSHIDA
             def step(y, h, L):
                 hh = h[..., None]
-                x = jnp.concatenate([y[..., :3], y[..., 5:6]], axis=-1)
-                v = y[..., 3:5]
+                x, v = split(y)
                 for i in range(3):
                     x = drift(x, v, steppers._YOSHIDA_C[i] * hh, L)
                     v = v + steppers._YOSHIDA_D[i] * hh * accel(0.0, x, v, L)
                 x = drift(x, v, steppers._YOSHIDA_C[3] * hh, L)
-                y_new = jnp.concatenate(
-                    [x[..., :3], v, x[..., 3:4]], axis=-1
-                )
-                return y_new, jnp.zeros(y.shape[:-1], y.dtype)
+                return assemble(x, v), jnp.zeros(y.shape[:-1], y.dtype)
         return step, False
     raise ValueError(f"unknown integrator {integ!r}")
 
@@ -216,12 +271,14 @@ def trace_step(carry: TraceCarry, scene: Scene, step_fn, adaptive: bool
     # without rewriting state.
     finite = jnp.all(jnp.isfinite(y_trial), axis=-1)
     advance = active & accepted & finite
-    y_new = jnp.where(advance[..., None], y_trial, carry.y)
+    y_new = renormalize_trig(
+        jnp.where(advance[..., None], y_trial, carry.y)
+    )
     h_new = jnp.where(active, h_next, carry.h)
 
-    bl_new = y_new[..., :3]
-    cart_new = coords.boyer_lindquist_to_cartesian(bl_new, a)
-    chord = cart_new - carry.cart
+    cart_prev = aug_to_cartesian(carry.y, a)
+    cart_new = aug_to_cartesian(y_new, a)
+    chord = cart_new - cart_prev
     # Grad-safe norm: for frozen lanes chord == 0 exactly and the VJP of
     # linalg.norm at 0 is NaN, which would poison reverse-mode through
     # the masked where()s below.
@@ -237,13 +294,13 @@ def trace_step(carry: TraceCarry, scene: Scene, step_fn, adaptive: bool
     # --- disk crossing (inline sign-change detection) ---
     if scene.disk_enabled and cfg.show_disk:
         incl = disk.inclination
-        z_prev = _disk_plane_z(carry.cart, incl)
+        z_prev = _disk_plane_z(cart_prev, incl)
         z_new = _disk_plane_z(cart_new, incl)
         crossed = (z_prev * z_new < 0.0) & advance
         frac = z_prev / jnp.where(
             jnp.abs(z_prev - z_new) < EPSILON, EPSILON, z_prev - z_new
         )
-        cross_pt = carry.cart + frac[..., None] * chord
+        cross_pt = cart_prev + frac[..., None] * chord
         r_plane = _disk_plane_radius(cross_pt, incl)
         in_annulus = (r_plane >= disk.inner_radius) & (
             r_plane <= disk.outer_radius
@@ -335,7 +392,6 @@ def trace_step(carry: TraceCarry, scene: Scene, step_fn, adaptive: bool
         dist=dist_new,
         steps=carry.steps + active.astype(jnp.int32),
         result=result,
-        cart=jnp.where(advance[..., None], cart_new, carry.cart),
         hit_pos=hit_pos,
         last_dir=last_dir,
         min_r=jnp.where(
@@ -351,7 +407,7 @@ def trace_step(carry: TraceCarry, scene: Scene, step_fn, adaptive: bool
 def init_carry(origins, directions, scene: Scene) -> TraceCarry:
     """Build the initial trace carry from cartesian rays (flattened)."""
     bh = scene.blackhole
-    y, _, L, _ = geodesic.init_null_rays(
+    y, _, L, _ = geodesic.init_null_rays_aug(
         origins, coords.normalize(directions), bh.mass, bh.a, bh.charge
     )
     dtype = y.dtype
@@ -371,7 +427,6 @@ def init_carry(origins, directions, scene: Scene) -> TraceCarry:
         dist=zeros,
         steps=izeros,
         result=izeros + ACTIVE,
-        cart=jnp.asarray(origins, dtype),
         hit_pos=jnp.asarray(origins, dtype),
         last_dir=coords.normalize(jnp.asarray(directions, dtype)),
         min_r=y[..., geodesic.IR],
@@ -390,8 +445,9 @@ def finalize(carry: TraceCarry, scene: Scene) -> Hit:
     result = jnp.where(
         carry.result == ACTIVE, RayResult.MAX_STEPS, carry.result
     )
+    final_cart = aug_to_cartesian(carry.y, bh.a)
     pos = jnp.where(
-        (result == RayResult.DISK)[..., None], carry.hit_pos, carry.cart
+        (result == RayResult.DISK)[..., None], carry.hit_pos, final_cart
     )
     r_term = jnp.linalg.norm(pos, axis=-1)
     tdil = derived.time_dilation(r_term, bh.mass)

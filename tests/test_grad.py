@@ -163,6 +163,7 @@ def test_inverse_rendering_recovers_camera_pose():
     assert err1 < err0
 
 
+@pytest.mark.slow
 def test_fit_forward_recovers_mass_and_spin():
     """Forward-mode inverse rendering (one multi-tangent Pallas pass per
     step, interpret mode on CPU) must descend like the reverse path."""

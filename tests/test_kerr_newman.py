@@ -194,6 +194,7 @@ def test_kerr_newman_pallas_parity():
     )
 
 
+@pytest.mark.slow
 def test_charge_gradient_through_kernel():
     """d(loss)/d(charge) via the multi-tangent kernel must match the
     reverse-mode checkpointed scan."""

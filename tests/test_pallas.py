@@ -69,6 +69,7 @@ def test_pallas_pads_non_tile_batch():
     )
 
 
+@pytest.mark.slow
 def test_pallas_forward_mode_gradients():
     """jax.jvp through the tangent-augmented kernel must match the
     reverse-mode checkpointed scan driver."""
@@ -180,6 +181,7 @@ def test_pallas_fast_grad_value_and_grad():
     )
 
 
+@pytest.mark.slow
 def test_pallas_multi_tangent_value_and_grad():
     """scene_value_and_grad propagates ALL parameter tangents in one
     kernel pass and must agree with reverse mode."""
@@ -252,6 +254,7 @@ def test_pallas_depth_sorted_is_bitwise_identical():
                                       np.asarray(leaf_s))
 
 
+@pytest.mark.slow
 def test_pallas_depth_sorted_fwdgrad_matches_unsorted():
     """The multi-tangent kernel under a depth-sort permutation must
     return the same hit AND tangents as the unsorted call."""

@@ -116,6 +116,7 @@ def test_sharded_grad_matches_single_device(mesh8):
         )
 
 
+@pytest.mark.slow
 def test_sharded_train_step_descends(mesh8):
     scene, camera = scene_and_camera()
     target = diff_trace.render_image_diff(scene, camera, 16, 16)
