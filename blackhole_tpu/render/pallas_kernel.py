@@ -50,10 +50,11 @@ TILE_LANES = 128
 # than it saves.  Interpret mode (CPU tests) keeps 8 rows so small
 # batches don't pay 4x padded-lane simulation.
 TILE_ROWS = int(os.environ.get("BH_PALLAS_TILE_ROWS", "32"))
-# The multi-tangent kernel carries (1 + n_tan) * 19 state planes, so its
-# VMEM sweet spot is smaller: 16 rows measured 1.55M vs 1.50M rays/s
-# fwd+bwd at 32 rows (1024^2, 2 tangents, v5e).
-TILE_ROWS_MULTI = int(os.environ.get("BH_PALLAS_TILE_ROWS_MULTI", "16"))
+# The multi-tangent kernel carries (1 + n_tan) * 21 state planes, so its
+# VMEM sweet spot is smaller: with the trig-augmented state, 8 rows
+# measured 1.88M vs 1.83M rays/s fwd+bwd at 16 rows (1024^2, 2
+# tangents, v5e; 8 is also Mosaic's f32 sublane minimum).
+TILE_ROWS_MULTI = int(os.environ.get("BH_PALLAS_TILE_ROWS_MULTI", "8"))
 TILE_ROWS_INTERPRET = 8
 TILE = TILE_ROWS * TILE_LANES
 
@@ -216,8 +217,28 @@ def _cart(r, st, ct, sp, cp, a):
     return rho * cp, rho * sp, r * ct
 
 
+@jax.custom_jvp
+def _slave_trig(st, ct, sp, cp, th, ph):
+    """Identity on the primal; under jax.jvp the four trig tangents are
+    OVERWRITTEN with the constraint-consistent d(sin x) = cos x dx,
+    d(cos x) = -sin x dx (trace.slave_trig_tangent twin) — the
+    integrated trig-tangent stage arithmetic becomes dead code the
+    compiler eliminates, and the tangents stay exactly on the unit
+    circle's tangent space."""
+    return st, ct, sp, cp
+
+
+@_slave_trig.defjvp
+def _slave_trig_jvp(primals, tangents):
+    st, ct, sp, cp, th, ph = primals
+    _dst, _dct, _dsp, _dcp, dth, dph = tangents
+    return (st, ct, sp, cp), (
+        ct * dth, -st * dth, cp * dph, -sp * dph
+    )
+
+
 def _step_update(state, scal, disk_enabled: bool, adaptive: bool = False,
-                 track: bool = False):
+                 track: bool = False, slave: bool = False):
     """One masked integration step as a pure function of
     (state, scal) tuples of (rows, 128) vectors — shared by the plain
     forward kernel and the tangent-augmented (JVP) kernels, where it is
@@ -382,6 +403,17 @@ def _step_update(state, scal, disk_enabled: bool, adaptive: bool = False,
     n_ph = jax.lax.rsqrt(jnp.maximum(sph_n * sph_n + cph_n * cph_n, 0.25))
     sph_n = sph_n * n_ph
     cph_n = cph_n * n_ph
+    if slave:
+        # Trig-tangent slaving (trace.slave_trig_tangent twin), BEFORE
+        # the cartesian conversion so the downstream tangents consume
+        # the slaved values and the integrated trig-tangent stage
+        # arithmetic is dead code.  Only the differentiated kernels
+        # compile this wrapper: routing the custom_jvp through the
+        # plain kernel was measured to blow its Mosaic compile time up
+        # ~5x for zero semantic effect.
+        sth_n, cth_n, sph_n, cph_n = _slave_trig(
+            sth_n, cth_n, sph_n, cph_n, th_n, ph_n
+        )
 
     cx, cy, cz = _cart(r, sth, cth, sph, cph, a)
     cx_n, cy_n, cz_n = _cart(r_n, sth_n, cth_n, sph_n, cph_n, a)
@@ -623,10 +655,11 @@ def _make_kernel_jvp(disk_enabled: bool, max_steps: int, adaptive: bool,
         def f(state, scal_in):
             # tangent_guard: per-ray tangent rescale + non-finite scrub
             # once per step (integrate.sensitivity) — identity on the
-            # primal, so the plain kernel path is untouched.
+            # primal, so the plain kernel path is untouched.  slave=True
+            # slaves the trig tangents to d(theta), d(phi) in-step.
             return sensitivity.tangent_guard(
                 2, _step_update(state, scal_in, disk_enabled, adaptive,
-                                track)
+                                track, slave=True)
             )
 
         def cond(carry):
@@ -692,11 +725,12 @@ def _make_kernel_jvp_multi(disk_enabled: bool, max_steps: int,
             )
 
         def f(state, scal_in):
-            # Same per-step tangent guard as _make_kernel_jvp; applied
-            # independently to each tangent direction by the per-t jvp.
+            # Same per-step tangent guard + trig-tangent slaving as
+            # _make_kernel_jvp; applied independently to each tangent
+            # direction by the per-t jvp.
             return sensitivity.tangent_guard(
                 2, _step_update(state, scal_in, disk_enabled, adaptive,
-                                track)
+                                track, slave=True)
             )
 
         def cond(carry):

@@ -135,6 +135,37 @@ def renormalize_trig(y):
             .at[..., geodesic.ICP].set(cp * n_ph)
 
 
+@jax.custom_jvp
+def slave_trig_tangent(y):
+    """Identity on the primal; under jax.jvp, OVERWRITES the four trig
+    tangent components with their constraint-consistent values
+    d(sin x) = cos x dx, d(cos x) = -sin x dx.
+
+    The augmented state's tangent space is 6-dimensional (the trig
+    components are functions of theta/phi); integrating their tangents
+    as free variables both drifts them off the constraint AND pays
+    stage arithmetic for values this rule reproduces from d(theta),
+    d(phi) in four multiplies — applied once per step, the integrated
+    trig-tangent stage arithmetic (and the renormalization's tangent)
+    becomes dead code the compiler eliminates.  Forward-mode only, like
+    sensitivity.tangent_guard; the reverse-mode scan drivers
+    differentiate trace_step directly and never see this wrapper."""
+    return y
+
+
+@slave_trig_tangent.defjvp
+def _slave_trig_tangent_jvp(primals, tangents):
+    (y,), (dy,) = primals, tangents
+    st, ct = y[..., geodesic.IST], y[..., geodesic.ICT]
+    sp, cp = y[..., geodesic.ISP], y[..., geodesic.ICP]
+    dth, dph = dy[..., geodesic.ITH], dy[..., geodesic.IPH]
+    dy = dy.at[..., geodesic.IST].set(ct * dth) \
+           .at[..., geodesic.ICT].set(-st * dth) \
+           .at[..., geodesic.ISP].set(cp * dph) \
+           .at[..., geodesic.ICP].set(-sp * dph)
+    return y, dy
+
+
 def step_size_schedule(r, time_step, M, r_capture):
     """Smooth per-ray step size.
 
@@ -271,9 +302,12 @@ def trace_step(carry: TraceCarry, scene: Scene, step_fn, adaptive: bool
     # without rewriting state.
     finite = jnp.all(jnp.isfinite(y_trial), axis=-1)
     advance = active & accepted & finite
-    y_new = renormalize_trig(
+    # Slaving the trig tangents (slave_trig_tangent) BEFORE the
+    # cartesian conversion lets the compiler drop the integrated
+    # trig-tangent stage arithmetic under jax.jvp; identity otherwise.
+    y_new = slave_trig_tangent(renormalize_trig(
         jnp.where(advance[..., None], y_trial, carry.y)
-    )
+    ))
     h_new = jnp.where(active, h_next, carry.h)
 
     cart_prev = aug_to_cartesian(carry.y, a)
