@@ -11,7 +11,8 @@ camera, target at m=1.0, eval on both sides of the optimum).
 
 Run on TPU (fast) or CPU (slow, use GF_SIZE=64):
     python tools/grad_fidelity.py
-Env: GF_SIZE (256), GF_SOFT (0.3), GF_STEPS (800), GF_ENGINE (auto)
+Env: GF_SIZE (256), GF_SOFT (0.3), GF_STEPS (800), GF_ENGINE (auto),
+     GF_CLIP (fast_grad.TANGENT_CLIP)
 
 History (d loss/d mass at m=1.03, failing direction, 256^2):
   hard edge raw:        -0.56   (WRONG SIGN)
@@ -52,6 +53,7 @@ SIZE = int(os.environ.get("GF_SIZE", "256"))
 SOFT = float(os.environ.get("GF_SOFT", "0.3"))
 STEPS = int(os.environ.get("GF_STEPS", "800"))
 ENGINE = os.environ.get("GF_ENGINE", "auto")
+CLIP = float(os.environ.get("GF_CLIP", "0")) or None
 
 
 def make_scene(mass, soft=SOFT):
@@ -82,7 +84,9 @@ def main():
         hit = image_mod.trace_rays_fast(o, d, s, ENGINE)
         # Same TANGENT_CLIP winsorized estimator as grad.fast_grad
         # (identity on the primal, so FD evaluations are untouched).
-        return fast_grad.clip_color_tangent(hit).color
+        if CLIP is None:
+            return fast_grad.clip_color_tangent(hit).color
+        return fast_grad.clip_color_tangent(hit, clip=CLIP).color
 
     target = jax.block_until_ready(render(jnp.float32(1.0)))
 
@@ -90,7 +94,7 @@ def main():
         img = render(mass)
         return 0.5 * jnp.mean((img - target) ** 2)
 
-    out = {"size": SIZE, "soft": SOFT, "steps": STEPS,
+    out = {"size": SIZE, "soft": SOFT, "steps": STEPS, "clip": CLIP,
            "platform": jax.devices()[0].platform}
     for m0, eps in ((1.03, 3e-3), (0.98, 3e-3)):
         m0 = jnp.float32(m0)
