@@ -23,8 +23,12 @@ rc=124/parsed=null).  This version:
   print;
 * installs a SIGTERM backstop that prints the current result line
   before dying, so even a misjudged budget yields a parseable record;
-* enables the JAX persistent compilation cache (.jax_cache/) so a
-  bench run after a same-code session reuses compiled kernels.
+* does NOT enable the JAX persistent compilation cache: on the
+  axon-relayed TPU backend a persistent-cache HIT is pathological —
+  deserializing a stored multi-MB executable takes 125-488 s per hit
+  (measured r5; the r4 driver bench lost 488 s in the fwd section to
+  exactly this), while a true cold compile of the same kernel is ~5 s
+  remote.  Cold compiles are cheap here; cache hits are not.
 
 vs_baseline: the reference C engine (unmodified, built -O2 from
 /root/reference/src, its real physics path: Schwarzschild geodesics,
@@ -75,15 +79,14 @@ REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
 # device warmup).
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "540"))
 # Conservative per-section cost estimates (compile + timed repeats, s).
-# Measured cold on the axon-relayed v5e (r4 calibration run: startup
-# 20 s, fwd 156 s, fwd+bwd 30 s, RKF45 fwd+bwd 60 s, parity 216 s,
-# RKF45-512 fwd 22 s; total 504 s); a section only starts if the
-# remaining budget exceeds its estimate.  Warm .jax_cache runs skip
-# most of the compile time.
+# Measured cold, no persistent cache, on the axon-relayed v5e (r5
+# calibration: startup+fwd 165 s, fwd+bwd 35 s, RKF45 fwd+bwd ~60 s,
+# parity ~200 s, RKF45-512 fwd ~25 s); a section only starts if the
+# remaining budget exceeds its estimate.
 EST = {
-    "rkf45_fwdbwd": float(os.environ.get("BENCH_EST_RKF45_FWDBWD", "90")),
-    "parity": float(os.environ.get("BENCH_EST_PARITY", "240")),
-    "rkf45_fwd_512": float(os.environ.get("BENCH_EST_RKF45_FWD", "50")),
+    "rkf45_fwdbwd": float(os.environ.get("BENCH_EST_RKF45_FWDBWD", "80")),
+    "parity": float(os.environ.get("BENCH_EST_PARITY", "170")),
+    "rkf45_fwd_512": float(os.environ.get("BENCH_EST_RKF45_FWD", "35")),
 }
 
 
@@ -139,11 +142,9 @@ def _log(msg: str) -> None:
 def main():
     signal.signal(signal.SIGTERM, _on_term)
 
-    # Persistent compilation cache: keyed on HLO, so unchanged kernels
-    # skip the 30-120 s Mosaic compile on repeat runs.
-    cache_dir = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), ".jax_cache"
-    )
+    # NOTE: no persistent compilation cache — see the module docstring.
+    # On this relay backend a cache HIT (deserialize + remote load) is
+    # 25-100x SLOWER than the ~5 s cold compile it replaces.
     try:
         import jax
 
@@ -152,10 +153,8 @@ def main():
         # smoke tests of the bench control flow.
         if os.environ.get("BENCH_PLATFORM"):
             jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     except Exception:
-        pass  # cache is an optimization, never a requirement
+        pass
 
     import jax.numpy as jnp
 
@@ -363,7 +362,11 @@ def main():
         _log("rkf45 fwdbwd: compile+time start")
         t_ad_g = timeit(fwdbwd_ad, o, d)
         res["rays_per_s_fwdbwd_rkf45"] = round(n_rays / t_ad_g, 1)
-        _log("rkf45 fwdbwd done")
+        # First-class quality engine (CONVERGENCE.md: image-quality
+        # parity with RK4-1000 at ~10x fewer steps): its own baseline
+        # ratio rides next to the RK4 headline's.
+        res["vs_baseline_rkf45"] = round(n_rays / t_ad_g / _c_baseline(), 2)
+        _log(f"rkf45 fwdbwd done: {n_rays / t_ad_g:.0f} rays/s")
 
     # ---------------- compiled parity ----------------
     # tools/tpu_parity.py: every bench run on TPU doubles as evidence
@@ -379,11 +382,14 @@ def main():
         try:
             import tpu_parity
 
+            quick = os.environ.get("BENCH_PARITY_FULL") != "1"
             res["compiled_parity"] = (
-                "ok" if tpu_parity.run_parity_checks()["ok"] else "failed"
+                "ok" if tpu_parity.run_parity_checks(quick=quick)["ok"]
+                else "failed"
             )
         except AssertionError as e:  # record, don't hide, a violation
             res["compiled_parity"] = f"failed: {e}"
+        _log(f"parity done: {res['compiled_parity']}")
     elif platform == "tpu":
         res["compiled_parity"] = "skipped_budget"
 
@@ -417,6 +423,7 @@ def main():
         _log("rkf45 fwd 512: compile+time start")
         t_ad = timeit(fwd_ad, o5, d5)
         res["rays_per_s_fwd_rkf45_512"] = round(512 * 512 / t_ad, 1)
+        _log(f"rkf45 fwd 512 done: {512 * 512 / t_ad:.0f} rays/s")
 
     res["elapsed_s"] = round(time.perf_counter() - _T_START, 1)
     EMITTER.emit()

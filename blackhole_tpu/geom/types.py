@@ -209,13 +209,17 @@ class SimConfig:
     # gap of differentiable rendering).  Used by inverse rendering.
     shadow_softness: float = struct.field(pytree_node=False, default=0.0)
     # Disk kinematic model for relativistic shading:
+    # "auto"   — (default) exact Kerr circular-orbit g-factor
+    #            (shading.kerr_g_factor) wherever it is valid —
+    #            equatorial disks, conserved L available — and the
+    #            compat factors otherwise (per-ray jnp.where select);
     # "compat" — flat-space Keplerian speed + special-relativistic
     #            Doppler + Schwarzschild dilation (the reference's
     #            physics, raytracer.c:244-294 / ray_tracer.comp:278-292);
-    # "kerr"   — exact circular-orbit g-factor in Kerr(-Newman) using
-    #            the photon's conserved L (shading.kerr_g_factor) —
-    #            BEATS the reference's physics for a != 0.
-    disk_kinematics: str = struct.field(pytree_node=False, default="compat")
+    # "kerr"   — like auto, but REQUESTING the exact factor: a
+    #            concretely inclined disk (no circular geodesics off
+    #            the equator) logs a loud warning as it falls back.
+    disk_kinematics: str = struct.field(pytree_node=False, default="auto")
 
     @classmethod
     def create(
@@ -230,12 +234,12 @@ class SimConfig:
         enable_beaming=True,
         show_disk=True,
         shadow_softness=0.0,
-        disk_kinematics="compat",
+        disk_kinematics="auto",
         dtype=jnp.float32,
     ):
-        if disk_kinematics not in ("compat", "kerr"):
+        if disk_kinematics not in ("auto", "compat", "kerr"):
             raise ValueError(
-                f"disk_kinematics must be 'compat' or 'kerr', "
+                f"disk_kinematics must be 'auto', 'compat' or 'kerr', "
                 f"got {disk_kinematics!r}"
             )
         return cls(

@@ -1009,11 +1009,11 @@ def _check_integrator(scene: Scene) -> bool:
 
 def _needs_L(scene: Scene) -> bool:
     """finalize consumes the per-ray conserved L: soft shadow boundary
-    (sign only, stop-gradiented there) and/or kerr disk kinematics
-    (full value, differentiable)."""
+    (sign only, stop-gradiented there) and/or exact Kerr disk
+    kinematics (full value, differentiable; "auto" is the default)."""
     return (
         float(scene.config.shadow_softness) > 0.0
-        or scene.config.disk_kinematics == "kerr"
+        or scene.config.disk_kinematics in ("auto", "kerr")
     )
 
 

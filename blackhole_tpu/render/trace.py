@@ -147,9 +147,11 @@ def slave_trig_tangent(y):
     stage arithmetic for values this rule reproduces from d(theta),
     d(phi) in four multiplies — applied once per step, the integrated
     trig-tangent stage arithmetic (and the renormalization's tangent)
-    becomes dead code the compiler eliminates.  Forward-mode only, like
-    sensitivity.tangent_guard; the reverse-mode scan drivers
-    differentiate trace_step directly and never see this wrapper."""
+    becomes dead code the compiler eliminates.  Reverse-mode scan
+    drivers differentiate through this wrapper too: they TRANSPOSE the
+    slaved (linear) JVP, which routes the trig cotangents into the
+    theta/phi slots — gradients stay correct, just via the constraint
+    instead of the integrated recurrence."""
     return y
 
 
@@ -313,9 +315,11 @@ def trace_step(carry: TraceCarry, scene: Scene, step_fn, adaptive: bool
     cart_prev = aug_to_cartesian(carry.y, a)
     cart_new = aug_to_cartesian(y_new, a)
     chord = cart_new - cart_prev
-    # Grad-safe norm: for frozen lanes chord == 0 exactly and the VJP of
-    # linalg.norm at 0 is NaN, which would poison reverse-mode through
-    # the masked where()s below.
+    # Grad-safe norm: frozen lanes have chord ~ 0 (renormalize_trig
+    # still nudges their trig components at ulp level, so not exactly 0)
+    # and the VJP of an unguarded norm near 0 explodes; the 1e-24 floor
+    # plus the advance-masking of every consumer keeps reverse mode
+    # finite.
     step_len = jnp.sqrt(jnp.sum(chord * chord, axis=-1) + 1e-24)
     unit_dir = chord / jnp.maximum(step_len, EPSILON)[..., None]
     dist_new = carry.dist + jnp.where(advance, step_len, 0.0)

@@ -26,7 +26,9 @@ from blackhole_tpu.geom.types import (
 )
 from blackhole_tpu.render import geodesic, trace
 
-jax.config.update("jax_enable_x64", True)
+# x64 comes from conftest's hermetic-CPU setup; a module-level
+# jax.config.update here would leak into other modules sharing the
+# xdist worker process when BH_TPU_TESTS=1 deliberately leaves x64 off.
 
 
 def _sample_states(n=64, seed=0):

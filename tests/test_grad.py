@@ -97,8 +97,11 @@ def test_inverse_rendering_recovers_mass():
     bad = dataclasses.replace(
         scene, blackhole=BlackHole.create(1.15, 0.5, dtype=jnp.float64)
     )
+    # lr 2e-2: the default "auto" kinematics' exact g-factor steepens
+    # d(loss)/d(mass) near the disk inner edge; 5e-2 (tuned on compat
+    # shading) oscillates around the optimum instead of descending.
     fitted_scene, _, losses = inverse.fit(
-        target, bad, camera, 16, 16, steps=25, learning_rate=5e-2,
+        target, bad, camera, 16, 16, steps=25, learning_rate=2e-2,
         optimize=("log_mass",),
     )
     assert losses[-1] < 0.5 * losses[0]

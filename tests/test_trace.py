@@ -128,8 +128,14 @@ class TestConservation:
 
 class TestDisk:
     def test_equatorial_crossing_hits_disk(self):
-        """A ray aimed to cross z=0 inside [6, 20] M hits the disk."""
-        scene = make_scene(disk=True)
+        """A ray aimed to cross z=0 inside [6, 20] M hits the disk.
+
+        compat kinematics: the no-Doppler-when-perpendicular assertion
+        below is the reference's flat-space convention; the default
+        "auto" mode's exact g-factor includes transverse Doppler +
+        emitter time dilation, so doppler != 1 there (and rightly so —
+        see test_kerr_shading)."""
+        scene = make_scene(disk=True, disk_kinematics="compat")
         o = jnp.array([[12.0, 0.0, 10.0]])
         d = jnp.array([[0.0, 0.0, -1.0]])
         hit = trace.trace_rays(o, d, scene)

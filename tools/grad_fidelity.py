@@ -36,12 +36,9 @@ import jax.numpy as jnp
 
 if os.environ.get("GF_PLATFORM"):
     jax.config.update("jax_platforms", os.environ["GF_PLATFORM"])
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                 ".jax_cache"),
-)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+# No persistent compilation cache: on the axon-relayed TPU a cache HIT
+# deserializes at 125-488 s per multi-MB executable while a cold compile
+# is ~5 s remote (measured r5) — the cache made this tool ~19 min/run.
 
 from blackhole_tpu.geom.types import (  # noqa: E402
     BlackHole, Camera, Disk, Scene, SimConfig,

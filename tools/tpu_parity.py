@@ -173,14 +173,24 @@ def check_depth_sorted():
     return stats
 
 
-def run_parity_checks():
+def run_parity_checks(quick: bool = False):
     """All compiled parity checks; returns a summary dict ('ok' plus
-    per-check stats).  Raises AssertionError on any violation."""
+    per-check stats).  Raises AssertionError on any violation.
+
+    quick: drop the RKF45 no-disk configuration — the only case whose
+    omission removes a whole (Mosaic + XLA reference) compile pair —
+    so the bench-embedded run fits its budget under remote-compile
+    contention.  Spin/charge variants are traced (no extra compiles)
+    and stay in both modes; the standalone tool always runs the full
+    set."""
     from blackhole_tpu.geom.types import Integrator
 
-    out = {"forward": [], "jvp": None, "sorted": None, "ok": False}
+    out = {"forward": [], "jvp": None, "sorted": None, "ok": False,
+           "quick": bool(quick)}
     for integ in (Integrator.RK4, Integrator.RKF45):
         for spin, disk in ((0.0, True), (0.9, True), (0.9, False)):
+            if quick and disk is False and integ == Integrator.RKF45:
+                continue
             out["forward"].append(check_forward(spin, disk, integ))
     # Kerr-Newman: charge rides a traced scal plane, so this reuses the
     # compiled RK4 kernel — no extra compile cost.
