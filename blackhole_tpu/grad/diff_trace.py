@@ -73,7 +73,11 @@ def trace_rays_diff(origins, directions, scene: Scene, segments: int = 0):
             lambda c: jax.lax.scan(inner_body, c, None, length=remainder)[0]
         )
         carry = tail(carry)
-    hit = trace.finalize(carry, scene)
+    margin = (
+        trace.compute_capture_margin(o, d, scene)
+        if float(scene.config.shadow_softness) > 0.0 else None
+    )
+    hit = trace.finalize(carry, scene, margin=margin)
     return jax.tree_util.tree_map(
         lambda x: x.reshape(batch_shape + x.shape[1:]), hit
     )

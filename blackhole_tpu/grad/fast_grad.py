@@ -27,14 +27,18 @@ import jax.numpy as jnp
 # Default per-component winsorization of color tangents.  Near-critical
 # (photon-shell-grazing) rays are chaotic: their pathwise tangents are
 # finite (integrate.sensitivity caps them) but orders of magnitude
-# beyond the smooth population (99.9th pct ~ 1e2 vs tail ~ 7e3 at
-# 1024^2 / a=0.9) and carry no usable signal — the underlying map is
-# discontinuous at that scale, so they enter an aggregate loss as
-# heavy-tailed noise (measured: they flip the SIGN of d(MSE)/d(mass) at
-# 256^2).  Clipping at 10 is ~5x the 99th percentile of legitimate
-# per-ray |d color|: identity for the smooth population, kills the
-# firefly tail.  Pass tangent_clip=None for the raw estimator.
-TANGENT_CLIP = 10.0
+# beyond the smooth population and carry no usable signal — the
+# underlying map is discontinuous at that scale, so they enter an
+# aggregate loss as heavy-tailed noise (measured: they flip the SIGN of
+# d(MSE)/d(mass) at 256^2).  15 was chosen by decomposition against
+# per-pixel finite differences at 256^2/800 steps/soft 0.3 (r5,
+# tools/grad_decompose.py, with the analytic capture-margin boundary):
+# the genuine tangent population ends at |d| ~ 21-27 (its q0.999) and
+# AD/FD of d(MSE)/d(mass) reads 0.98/1.03 on the two sides of the
+# optimum at clip 15 (0.90/0.93 at 10, 1.02/1.07 at 30 — beyond that
+# the chaos tail inflates the estimate).  Pass tangent_clip=None for
+# the raw estimator.
+TANGENT_CLIP = 15.0
 
 
 def _clip_hit_tangent(dhit, clip):

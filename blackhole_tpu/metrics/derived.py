@@ -9,6 +9,7 @@ the reference declares (raytracer.h:286) but never defines.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from blackhole_tpu.constants import EPSILON
@@ -190,3 +191,84 @@ def keplerian_orbital_velocity(r, M):
 def hawking_temperature(M):
     """T_H = 1/(8 pi M) in geometric units (particle_sim.c:444)."""
     return 1.0 / (8.0 * jnp.pi * M)
+
+
+def kerr_radial_potential(r, L, Qc, M, a, charge=0.0):
+    """Photon radial potential R(r) for E = 1 (Bardeen 1972):
+
+        R(r) = (r^2 + a^2 - a L)^2 - Delta(r) [Qc + (L - a)^2],
+        Delta = r^2 - 2 M r + a^2 + e^2.
+
+    dr/dlambda squared = R / Sigma^2, so motion is allowed where
+    R >= 0 and turning points are its roots.  Smooth in every argument.
+    """
+    delta = r * r - 2.0 * M * r + a * a + charge * charge
+    P = r * r + a * a - a * L
+    C = Qc + (L - a) * (L - a)
+    return P * P - delta * C
+
+
+def capture_margin_length(L, Qc, M, a, charge=0.0, iters=16):
+    """Analytic capture/escape margin of a photon, as a signed LENGTH.
+
+    The potential barrier's height decides capture: with R(r) the
+    radial potential above, an infalling photon escapes iff R has a
+    root above the horizon (it turns around at the largest such root —
+    its periapsis), and is captured iff min R over (r_+, infinity) > 0.
+    This finds the interior minimum r* of R by Newton on R'(r) = 0
+    (seeded at the spin-signed circular photon-orbit radius, to which
+    r* collapses at criticality) and converts the barrier clearance
+    into a length:
+
+        margin = sign(R(r*)) sqrt(2 |R(r*)| / R''(r*))
+
+    For an escaping ray, |margin| equals its periapsis' distance above
+    r* to leading order — i.e. exactly the (min_r - r_photon) measure
+    the soft shadow boundary used through r3/r4, but computed in CLOSED
+    FORM from the conserved (L, Qc): no dependence on whether the
+    integrator's step budget resolved the periapsis.  (Measured at
+    256^2/800 steps, budget-truncated min_r was the dominant source of
+    spurious visibility flips: rays recorded min_r ~ 5M mid-approach,
+    flipped bright<->dark under d(mass) though their trajectories were
+    far from critical.  The margin is budget-independent by
+    construction.)  positive => captured, negative => escapes.
+
+    Valid for INGOING rays (initial p_r < 0) with C = Qc + (L-a)^2 > 0
+    — callers select the old min_r measure otherwise (outgoing rays
+    never flip capture, so the switch is gradient-inert).  Fully
+    differentiable in (L, Qc, M, a, e) — Newton iterations are plain
+    smooth arithmetic; the 1e-8 floor inside the sqrt bounds the
+    (physically divergent) derivative at exact criticality.
+
+    Root selection: R'(r) = 4 r^3 + p r + q with p = 4(a^2 - aL) - 2C,
+    q = 2MC >= 0.  The barrier dip is the LARGEST real root (the
+    up-quartic's critical points order min < max < min; the horizon-
+    side local max also solves R' = 0 and must be avoided).  When
+    p < 0 the largest root lies below sqrt(-p/4)... — seeding Newton at
+    r_seed = sqrt(max(-p1, 0)) + 1 (p1 = p/4), where the cubic is
+    positive and convex, gives monotone descent onto exactly that
+    root; when the cubic has no positive root (p1 >= 0), the iterate
+    pins at the horizon clamp, R there is P^2 >= 0, and the ray is
+    classified captured — correct for an ingoing ray with no barrier.
+    """
+    C = Qc + (L - a) * (L - a)
+    spin = a / jnp.maximum(M, EPSILON)
+    r_lo = event_horizon(M, spin, charge / jnp.maximum(M, EPSILON)) * 1.01
+
+    # Depressed cubic r^3 + p1 r + q1 for R'/4.
+    p1 = (a * a - a * L) - 0.5 * C
+    # 1e-12 floor: sqrt'(0) is inf and max's clamped-branch tangent is
+    # 0, so an exact-zero radicand turns the jvp into 0 * inf = NaN.
+    r = jnp.sqrt(jnp.maximum(-p1, 1e-12)) + 1.0  # >= largest root; convex
+
+    for _ in range(iters):
+        f = r * (r * r + p1) + 0.5 * M * C
+        fp = 3.0 * r * r + p1
+        r = r - f / jnp.where(jnp.abs(fp) < EPSILON, EPSILON, fp)
+        r = jnp.maximum(r, r_lo)
+
+    R_star = kerr_radial_potential(r, L, Qc, M, a, charge)
+    d2 = jnp.maximum(12.0 * r * r + 4.0 * p1, EPSILON)
+    return jnp.sign(R_star) * jnp.sqrt(
+        2.0 * jnp.abs(R_star) / d2 + 1e-8
+    )

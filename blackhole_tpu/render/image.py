@@ -104,10 +104,17 @@ def trace_rays_fast(origins, directions, scene: Scene, engine: str = "auto",
     engine: "pallas" (fused TPU kernel), "pallas_interpret" (the same
     kernel in interpret mode — CPU-testable, used to exercise the
     kernel under virtual shard_map meshes), "xla" (while_loop path), or
-    "auto" — pallas on a TPU backend with the RK4 integrator (measured
-    ~6x the XLA path on v5e), XLA otherwise.  All engines produce the
-    same Hit records (tested to result-code equality).  Forward-only:
-    the differentiable path is blackhole_tpu.grad.diff_trace.
+    "auto" — pallas on a TPU backend with the RK4/RKF45 integrators
+    (measured ~6x the XLA path on v5e), XLA otherwise.  All engines
+    produce the same Hit records (tested to result-code equality).
+    Forward-only: the differentiable path is blackhole_tpu.grad.
+
+    Integrator recommendation (PERF.md / CONVERGENCE.md): for
+    differentiable rendering and throughput-bound workloads prefer
+    SimConfig integrator="rkf45" with tolerance 1e-6 — image-quality
+    parity with the RK4 1000-step schedule at ~10x fewer steps,
+    measured 2.4x the RK4 fwd+bwd rays/s at 1024^2 (4.7M vs 1.95M,
+    v5e).  RK4 remains the default for reference-schedule parity.
 
     order: optional depth-sort permutation (predicted_depth_order) used
     by the pallas engine; the XLA path ignores it (its single

@@ -82,8 +82,11 @@ def _rows_for(interpret: bool, multi: bool = False) -> int:
 # bug when *traced* SMEM scalars mix into vector arithmetic inside the
 # while_loop (constant-folded scalars compile fine).  Plane layout:
 # [M, a, Q, time_step, max_ray_distance, r_capture,
-#  disk_inner, disk_outer, sin_incl, cos_incl, tol]
-_N_SCAL_PLANES = 11
+#  disk_inner, disk_outer, sin_incl, cos_incl, tol, r_shell_min]
+# r_shell_min: prograde photon-shell radius for the early ingoing
+# capture (trace.trace_step) — computed once in _prepare so the loop
+# body stays transcendental-free.
+_N_SCAL_PLANES = 12
 # Output planes per ray set (primal or one tangent direction):
 # result, dist, steps, hit xyz, last-dir xyz, final (r, sin/cos th,
 # sin/cos ph), min_r; +7 (min_az, closest-approach pos xyz, dir xyz)
@@ -249,7 +252,8 @@ def _step_update(state, scal, disk_enabled: bool, adaptive: bool = False,
        dist, steps, result, hx, hy, hz, lx, ly, lz, t, h, min_r
        [, min_az, gx, gy, gz, gdx, gdy, gdz when track])
     scal:  (M, a, Q, dt, max_dist, r_capture, disk_inner, disk_outer,
-            sin_incl, cos_incl, tol, L)  [L rides with scal: per-ray const]
+            sin_incl, cos_incl, tol, r_shell_min, L)
+           [L rides with scal: per-ray const]
 
     The loop body evaluates ZERO transcendentals: sin/cos of theta and
     phi are slaved ODE components (geodesic.rhs_aug) advanced by the
@@ -275,7 +279,7 @@ def _step_update(state, scal, disk_enabled: bool, adaptive: bool = False,
     if track:
         (min_az, gx, gy, gz, gdx, gdy, gdz) = state[21:]
     (M, a, Q, dt, max_dist, r_capture, disk_inner, disk_outer,
-     sin_incl, cos_incl, tol, L) = scal
+     sin_incl, cos_incl, tol, r_shell_min, L) = scal
     active = result == float(trace.ACTIVE)
     rs = 2.0 * M
 
@@ -485,9 +489,13 @@ def _step_update(state, scal, disk_enabled: bool, adaptive: bool = False,
 
     still = result == float(trace.ACTIVE)
 
-    # --- horizon capture + momentum pinning + NaN scrub ---
+    # --- horizon capture + momentum pinning + NaN scrub + early
+    # ingoing shell capture (see trace.trace_step for the physics) ---
     pinned = (pr_n < -1e6) | (jnp.abs(pr_n) > 1e7)
-    captured = still & active & ((r_n <= r_capture) | pinned | ~finite)
+    shell_capture = (pr_n < 0.0) & (r_n < 0.999 * r_shell_min)
+    captured = still & active & (
+        (r_n <= r_capture) | shell_capture | pinned | ~finite
+    )
     result = jnp.where(captured, float(RayResult.HORIZON), result)
     hx = jnp.where(captured, cx_n, hx)
     hy = jnp.where(captured, cy_n, hy)
@@ -840,6 +848,7 @@ def trace_rays_pallas_fwdgrad(origins, directions, scene: Scene,
 
     o32 = jnp.asarray(origins, jnp.float32).reshape(-1, 3)
     d32 = jnp.asarray(directions, jnp.float32).reshape(-1, 3)
+    o0, d0 = o32, d32  # CALLER-order rays (margin is computed on these)
     inv_order = None
     if order is not None:
         o32, d32 = o32[order], d32[order]
@@ -847,13 +856,15 @@ def trace_rays_pallas_fwdgrad(origins, directions, scene: Scene,
     scal, inp = pre(scene, o32, d32)
     dscals, dinps = [], []
     scene_tangents = []
+    ray_tangents = []  # caller-order (ds, do, dd) per direction
     for tan in tangents:
         if isinstance(tan, tuple) and len(tan) == 3:
             ds, do, dd = tan
+            do = jnp.asarray(do, jnp.float32).reshape(-1, 3)
+            dd = jnp.asarray(dd, jnp.float32).reshape(-1, 3)
         else:
-            ds, do, dd = tan, jnp.zeros_like(o32), jnp.zeros_like(d32)
-        do = jnp.asarray(do, jnp.float32).reshape(-1, 3)
-        dd = jnp.asarray(dd, jnp.float32).reshape(-1, 3)
+            ds, do, dd = tan, jnp.zeros_like(o0), jnp.zeros_like(d0)
+        ray_tangents.append((ds, do, dd))
         if order is not None and do.shape[0] == n:
             do, dd = do[order], dd[order]
         scene_tangents.append(ds)
@@ -878,15 +889,40 @@ def trace_rays_pallas_fwdgrad(origins, directions, scene: Scene,
 
         L = extract_L(inp)
 
-        def post(out_, s, L_):
-            return _postprocess(out_, n, batch_shape, s, inv_order, L_)
+        soft = float(scene.config.shadow_softness) > 0.0
+        if soft:
+            # Analytic capture margin + its per-direction tangents —
+            # caller-order, differentiable in (scene, rays).  valid is
+            # a primal-only predicate (closed over below).
+            def m_fn(s, o_, d_):
+                return trace.compute_capture_margin(o_, d_, s)[0]
 
-        hit = post(out, scene, L)
+            m_arr = m_fn(scene, o0, d0)
+            m_valid = trace.compute_capture_margin(o0, d0, scene)[1]
+        else:
+            m_arr = jnp.zeros((n,), jnp.float32)
+            m_valid = None
+
+        def post(out_, s, L_, m_):
+            margin = (m_, m_valid) if m_valid is not None else None
+            return _postprocess(
+                out_, n, batch_shape, s, inv_order, L_, margin
+            )
+
+        hit = post(out, scene, L, m_arr)
         dhits = []
-        for dout, ds, dinp in zip(douts, scene_tangents, dinps):
-            # dL rides the jvp so kerr-mode shading sees d L/d params.
+        for dout, ds, dinp, rtan in zip(
+            douts, scene_tangents, dinps, ray_tangents
+        ):
+            # dL and dmargin ride the jvp so kerr-mode shading and the
+            # analytic shadow boundary see their parameter tangents.
+            if soft:
+                _, dm = jax.jvp(m_fn, (scene, o0, d0), rtan)
+            else:
+                dm = jnp.zeros_like(m_arr)
             _, dhit = jax.jvp(
-                post, (out, scene, L), (dout, ds, extract_L(dinp))
+                post, (out, scene, L, m_arr),
+                (dout, ds, extract_L(dinp), dm)
             )
             dhits.append(dhit)
         return hit, dhits
@@ -1077,6 +1113,8 @@ def _prepare(origins, directions, scene: Scene, rows: int = TILE_ROWS):
     )  # (grid, _N_INP_PLANES, rows, 128)
 
     r_capture = HORIZON_CAPTURE_FACTOR * bh.r_plus
+    from blackhole_tpu.metrics import derived as _derived
+
     scal = jnp.stack(
         [
             bh.mass, bh.a, bh.charge, cfg.time_step,
@@ -1084,9 +1122,12 @@ def _prepare(origins, directions, scene: Scene, rows: int = TILE_ROWS):
             disk.inner_radius, disk.outer_radius,
             jnp.sin(disk.inclination), jnp.cos(disk.inclination),
             jnp.maximum(cfg.tolerance, 1e-12),
+            _derived.kerr_photon_orbit_radius(
+                bh.mass, jnp.abs(bh.spin), 1.0
+            ),
         ]
     ).astype(jnp.float32)
-    # Broadcast to (10, rows, 128) VMEM planes (see _N_SCAL_PLANES note).
+    # Broadcast to (_N_SCAL_PLANES, rows, 128) VMEM planes (see _N_SCAL_PLANES note).
     scal = jnp.broadcast_to(
         scal[:, None, None], (_N_SCAL_PLANES, rows, TILE_LANES)
     )
@@ -1094,7 +1135,7 @@ def _prepare(origins, directions, scene: Scene, rows: int = TILE_ROWS):
 
 
 def _postprocess(out, n: int, batch_shape, scene: Scene,
-                 inv_order=None, L=None) -> Hit:
+                 inv_order=None, L=None, margin=None) -> Hit:
     """Differentiable post-kernel stage: output planes -> shaded Hit.
 
     inv_order: optional (n,) int permutation restoring the caller's ray
@@ -1103,7 +1144,10 @@ def _postprocess(out, n: int, batch_shape, scene: Scene,
     order — finalize uses sign(L) (stop-gradiented at the use site) for
     the soft shadow boundary's prograde/retrograde threshold and the
     full differentiable value for kerr disk kinematics; zeros
-    otherwise."""
+    otherwise.
+    margin: optional (margin_len, valid) pair in the CALLER's ray order
+    (trace.compute_capture_margin) for the analytic soft shadow
+    boundary."""
     track = trace.track_crossing(scene)
     n_planes = _n_out(track)
     n_total = out.shape[0] * out.shape[2] * out.shape[3]
@@ -1138,7 +1182,7 @@ def _postprocess(out, n: int, batch_shape, scene: Scene,
         gpos=flat[16:19].T if track else None,
         gdir=flat[19:22].T if track else None,
     )
-    hit = trace.finalize(carry, scene)
+    hit = trace.finalize(carry, scene, margin=margin)
     return jax.tree_util.tree_map(
         lambda x: x.reshape(batch_shape + x.shape[1:]), hit
     )
@@ -1186,4 +1230,13 @@ def trace_rays_pallas(origins, directions, scene: Scene,
         L = inp[:, 5].reshape(-1)[:n]
         if inv_order is not None:
             L = L[inv_order]
-    return _postprocess(out, n, batch_shape, scene, inv_order, L)
+    margin = None
+    if float(scene.config.shadow_softness) > 0.0:
+        # Analytic capture margin in the CALLER's order (computed from
+        # the unpermuted rays, outside the kernel).
+        margin = trace.compute_capture_margin(
+            jnp.asarray(origins, jnp.float32).reshape(-1, 3),
+            jnp.asarray(directions, jnp.float32).reshape(-1, 3),
+            scene,
+        )
+    return _postprocess(out, n, batch_shape, scene, inv_order, L, margin)

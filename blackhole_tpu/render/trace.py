@@ -402,7 +402,25 @@ def trace_step(carry: TraceCarry, scene: Scene, step_fn, adaptive: bool
     r_new = y_new[..., geodesic.IR]
     p_r_new = y_new[..., geodesic.IPR]
     pinned = (p_r_new < -1e6) | (jnp.abs(p_r_new) > 1e7)
-    captured = still & active & ((r_new <= r_capture) | pinned | ~finite)
+    # Early shell capture: an INGOING photon below the (prograde)
+    # photon-shell radius can never turn around — escaping periapses
+    # bottom out at r_ph_pro (turning points are roots of the radial
+    # potential; the infimum over escaping rays is the prograde
+    # spherical-orbit radius).  Retiring such lanes here (a) is exact
+    # physics, (b) saves the ~r_ph -> 1.01 r_+ creep the step clamp
+    # otherwise pays, and (c) retires lanes BEFORE the near-horizon
+    # zone where dH/dtheta * p_r^2 stiffness can catapult a
+    # fixed-step trial back out with garbage state (observed at
+    # 1.01 r_+: r 1.459 -> 6.65 -> -1.6e4 in two accepted steps,
+    # misclassified as escape).  0.999: near-critical escapers touch
+    # r_ph_pro only in the exact-criticality limit.
+    r_shell_min = derived.kerr_photon_orbit_radius(
+        M, jnp.abs(bh.spin), 1.0
+    )
+    shell_capture = (p_r_new < 0.0) & (r_new < 0.999 * r_shell_min)
+    captured = still & active & (
+        (r_new <= r_capture) | shell_capture | pinned | ~finite
+    )
     result = jnp.where(captured, RayResult.HORIZON, result)
     hit_pos = jnp.where(captured[..., None], cart_new, hit_pos)
     still = result == ACTIVE
@@ -476,8 +494,42 @@ def init_carry(origins, directions, scene: Scene) -> TraceCarry:
     )
 
 
-def finalize(carry: TraceCarry, scene: Scene) -> Hit:
-    """Convert the final carry into a shaded Hit record."""
+def compute_capture_margin(origins, directions, scene: Scene):
+    """(margin, valid) for the analytic soft shadow boundary.
+
+    margin: signed capture-margin LENGTH per ray
+    (metrics.derived.capture_margin_length) from the conserved (L, Qc)
+    — positive = captured, negative = escapes, |margin| ~ periapsis
+    distance above the photon shell.  Computed once at init, OUTSIDE
+    the integration loop: unlike the r3/r4 min_r measure it cannot be
+    truncated by the step budget (budget-truncated min_r was measured
+    to be the dominant source of spurious visibility flips at
+    256^2/800).  valid: the criterion applies — ray initially ingoing
+    with a positive potential-normalization C; finalize falls back to
+    the min_r measure elsewhere (such rays never sit on the capture
+    boundary, so the switch carries no gradient).
+
+    Differentiable in everything (camera, M, a, charge).
+    """
+    bh = scene.blackhole
+    y0, _, L, Qc = geodesic.init_null_rays_aug(
+        origins, coords.normalize(directions), bh.mass, bh.a, bh.charge
+    )
+    margin = derived.capture_margin_length(
+        L, Qc, bh.mass, bh.a, bh.charge
+    )
+    C = Qc + (L - bh.a) * (L - bh.a)
+    valid = (y0[..., geodesic.IPR] < 0.0) & (C > EPSILON)
+    return margin, valid
+
+
+def finalize(carry: TraceCarry, scene: Scene, margin=None) -> Hit:
+    """Convert the final carry into a shaded Hit record.
+
+    margin: optional (margin, valid) pair from compute_capture_margin —
+    the analytic capture boundary used for the soft shadow survival
+    factor (and the smooth budget-ray classification) when
+    shadow_softness > 0; None falls back to the min_r measure."""
     bh = scene.blackhole
     cfg = scene.config
     result = jnp.where(
@@ -507,9 +559,18 @@ def finalize(carry: TraceCarry, scene: Scene) -> Hit:
     # colors every non-horizon ray as sky (raytracer.c:1146-1160),
     # which erases the shadow whenever the step budget runs out first
     # (its engine *always* exhausts the budget — tools/ref_parity.py).
+    # With the analytic capture margin available (soft mode), this
+    # HARD r_term threshold is replaced by the smooth survival factor
+    # below: a budget ray on a captured trajectory has margin > 0 and
+    # fades to black through the same sigmoid as resolved captures —
+    # one less unsoftened visibility boundary (measured: budget-ray
+    # flips carried ~25% of d(MSE)/d(mass) FD mass at 256^2/800 that
+    # pathwise AD could not see).
     is_trapped = (result == RayResult.MAX_STEPS) & (
         r_term < 4.0 * bh.mass
     )
+    if margin is not None:
+        is_trapped = is_trapped & jnp.zeros_like(is_trapped)
     dark = (is_horizon | is_trapped)[..., None]
     if float(cfg.shadow_softness) > 0.0:
         # Soft disk edges: composite emission over the (straight-line
@@ -568,9 +629,25 @@ def finalize(carry: TraceCarry, scene: Scene) -> Hit:
         # survival ~ sigmoid(-3) = 5% there, so the flip is nearly
         # invisible in color and the boundary's gradient is carried by
         # the smooth factor instead.
-        survival = jax.nn.sigmoid(
-            (carry.min_r - r_ph) / (cfg.shadow_softness * bh.mass) - 3.0
-        )
+        x_minr = (carry.min_r - r_ph) / (cfg.shadow_softness * bh.mass)
+        if margin is not None:
+            # Analytic boundary (compute_capture_margin): -margin is
+            # the same "periapsis height above the shell" length as
+            # (min_r - r_ph), but from the conserved quantities —
+            # immune to step-budget truncation of min_r.  Disk hits
+            # keep the pathwise min_r measure: a sub-critical ray can
+            # legitimately hit the disk BEFORE plunging (its margin
+            # says "captured" but its emission is real), and min_r is
+            # fully resolved for any ray that actually hit.
+            m_arr, m_valid = margin
+            x_analytic = -m_arr / (cfg.shadow_softness * bh.mass)
+            is_disk_s = result == RayResult.DISK
+            x = jnp.where(
+                m_valid & ~is_disk_s, x_analytic, x_minr
+            )
+        else:
+            x = x_minr
+        survival = jax.nn.sigmoid(x - 3.0)
         color = color * survival[..., None]
     one = jnp.ones_like(tdil)
 
@@ -638,7 +715,11 @@ def trace_rays(origins, directions, scene: Scene, unroll: int = 1) -> Hit:
         )
 
     carry = jax.lax.while_loop(cond, body, carry0)
-    hit = finalize(carry, scene)
+    margin = (
+        compute_capture_margin(o, d, scene)
+        if float(scene.config.shadow_softness) > 0.0 else None
+    )
+    hit = finalize(carry, scene, margin=margin)
     return jax.tree_util.tree_map(
         lambda x: x.reshape(batch_shape + x.shape[1:]), hit
     )

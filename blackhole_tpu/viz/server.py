@@ -6,7 +6,10 @@ sliders (/root/reference/src/visualization/renderer.cpp:269-861, UI at
 stdlib HTTP server streams progressively-refined PNG frames to a canvas
 and maps the ImGui controls onto the same text-command grammar the
 terminal viewer uses (viz.viewer.ViewerState.apply — mass/spin/fov/
-orbit-camera/steps/disk/sky/particles).
+orbit-camera/steps/disk/sky/particles).  The canvas is navigable like
+the reference's window (renderer.cpp:815-817): drag to orbit, wheel to
+zoom, WASD/arrow keys nudge azimuth/elevation, Q/E zoom — all mapped
+onto the az/el/dist commands.
 
 Architecture mirrors the reference's thread split (renderer.cpp:863-1006
 physics thread + mutex/condvar double buffer):
@@ -258,6 +261,9 @@ _PAGE = """<!doctype html>
 <div id="view"><img id="frame" alt="render"></div>
 <div id="panel">
  <h1>blackhole_tpu</h1>
+ <div style="font:12px ui-monospace,monospace;color:#7d8fa8">
+   drag: orbit &nbsp; wheel: zoom &nbsp; WASD/arrows: orbit &nbsp;
+   Q/E: zoom</div>
  <div id="sliders"></div>
  <div class="chk"><input type="checkbox" id="disk" checked>
    <label for="disk" style="display:inline">accretion disk</label></div>
@@ -283,7 +289,8 @@ for (const [name, lo, hi, st] of SLIDERS) {
   const r = document.createElement("input");
   r.type = "range"; r.min = lo; r.max = hi; r.step = st; r.id = name;
   r.oninput = () => { v.textContent = r.value; };
-  r.onchange = () => send(name + " " + r.value);
+  // "=": absolute — az/el/dist treat a bare +/- as relative
+  r.onchange = () => send(name + " =" + r.value);
   box.appendChild(l); box.appendChild(r);
 }
 for (const id of ["disk", "sky", "particles"]) {
@@ -296,10 +303,80 @@ document.getElementById("cmd").addEventListener("keydown", (e) => {
 async function send(line) {
   await fetch("/cmd", {method: "POST", body: line});
 }
+// --- camera navigation on the canvas (renderer.cpp:815-817 analog:
+// the reference advertises mouse-look + WASD; here drag orbits,
+// wheel zooms, WASD/arrows nudge, Q/E zoom) ---
+const nav = {az: 0, el: 20, dist: 35, active: false, wt: 0, kt: 0};
+const img = document.getElementById("frame");
+img.style.cursor = "grab"; img.draggable = false;
+let drag = null, lastSend = 0;
+function wrapAz(a) {
+  while (a > 180) a -= 360; while (a < -180) a += 360; return a;
+}
+function sendOrbit(throttle) {
+  const now = Date.now();
+  if (throttle && now - lastSend < 160) return;
+  lastSend = now;
+  send("az =" + nav.az.toFixed(1));
+  send("el =" + nav.el.toFixed(1));
+}
+img.addEventListener("pointerdown", (e) => {
+  drag = {x: e.clientX, y: e.clientY, az: nav.az, el: nav.el};
+  nav.active = true; img.style.cursor = "grabbing";
+  img.setPointerCapture(e.pointerId); e.preventDefault();
+});
+img.addEventListener("pointermove", (e) => {
+  if (!drag) return;
+  nav.az = wrapAz(drag.az + (e.clientX - drag.x) * 0.4);
+  nav.el = Math.max(-89, Math.min(89,
+    drag.el + (e.clientY - drag.y) * 0.4));
+  sendOrbit(true);
+});
+img.addEventListener("pointerup", () => {
+  if (!drag) return;
+  drag = null; img.style.cursor = "grab";
+  lastSend = 0; sendOrbit(false);
+  setTimeout(() => { nav.active = false; }, 400);
+});
+img.addEventListener("wheel", (e) => {
+  e.preventDefault(); nav.active = true;
+  nav.dist = Math.max(8, Math.min(120,
+    nav.dist * Math.exp(e.deltaY * 0.001)));
+  const now = Date.now();
+  if (now - lastSend > 160) {
+    lastSend = now; send("dist =" + nav.dist.toFixed(1));
+  }
+  clearTimeout(nav.wt);
+  nav.wt = setTimeout(() => {
+    send("dist =" + nav.dist.toFixed(1)); nav.active = false;
+  }, 250);
+}, {passive: false});
+document.addEventListener("keydown", (e) => {
+  if (document.activeElement &&
+      ["cmd"].includes(document.activeElement.id)) return;
+  const k = e.key.toLowerCase();
+  const step = e.shiftKey ? 15 : 5;
+  let orbit = false, zoom = false;
+  if (k === "a" || k === "arrowleft") { nav.az = wrapAz(nav.az - step); orbit = true; }
+  else if (k === "d" || k === "arrowright") { nav.az = wrapAz(nav.az + step); orbit = true; }
+  else if (k === "w" || k === "arrowup") { nav.el = Math.min(89, nav.el + step); orbit = true; }
+  else if (k === "s" || k === "arrowdown") { nav.el = Math.max(-89, nav.el - step); orbit = true; }
+  else if (k === "q" || k === "-") { nav.dist = Math.min(120, nav.dist * 1.12); zoom = true; }
+  else if (k === "e" || k === "+" || k === "=") { nav.dist = Math.max(8, nav.dist / 1.12); zoom = true; }
+  else return;
+  e.preventDefault(); nav.active = true;
+  if (orbit) { lastSend = 0; sendOrbit(false); }
+  if (zoom) send("dist =" + nav.dist.toFixed(1));
+  clearTimeout(nav.kt);
+  nav.kt = setTimeout(() => { nav.active = false; }, 400);
+});
 let seq = -1;
 async function poll() {
   try {
     const s = await (await fetch("/state")).json();
+    if (!nav.active) {
+      nav.az = s.azimuth; nav.el = s.elevation; nav.dist = s.distance;
+    }
     for (const [name] of SLIDERS) {
       const r = document.getElementById(name);
       if (document.activeElement !== r) {

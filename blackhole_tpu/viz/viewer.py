@@ -41,7 +41,8 @@ from blackhole_tpu.viz import animate
 HELP = """commands:
   mass <v> | spin <v> | charge <v>   set black hole parameter
   fov <v>                            set field of view
-  dist <v> | el <v> | az <v>         orbit camera (az/el accept +d/-d)
+  dist <v> | el <v> | az <v>         orbit camera (+d/-d relative,
+                                     =v absolute, bare v absolute)
   steps <n>                          integration budget
   disk on|off                        toggle accretion disk
   sky on|off                         lensed starfield background
@@ -119,8 +120,17 @@ class ViewerState:
         if len(parts) != 2:
             return f"error: bad command {line!r} (try: help)"
         try:
-            rel = parts[1][0] in "+-" and cmd in ("az", "el", "dist")
-            v = float(parts[1])
+            # "=v" forces ABSOLUTE for az/el/dist (whose bare +/- means
+            # a relative nudge) — without it a negative absolute like
+            # "el -10" is unexpressible, which bit the browser
+            # frontend's sliders and drag-to-orbit.
+            raw = parts[1]
+            absolute = raw.startswith("=")
+            if absolute:
+                raw = raw[1:]
+            rel = (not absolute) and raw[:1] in ("+", "-") \
+                and cmd in ("az", "el", "dist")
+            v = float(raw)
         except ValueError:
             return f"error: bad value {parts[1]!r}"
         if cmd == "mass" and v > 0:

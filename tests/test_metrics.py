@@ -171,3 +171,79 @@ class TestDerived:
             lambda s: derived.effective_potential(10.0, 4.0, 1.0, s)
         )(jnp.float64(0.0))
         assert np.isfinite(float(g))
+
+
+class TestCaptureMargin:
+    """Analytic photon capture margin (derived.capture_margin_length) —
+    the budget-independent soft shadow boundary (PERF.md r5)."""
+
+    def test_schwarzschild_critical_impact_parameter(self):
+        """Equatorial photon (L = b, Qc = 0): the margin's sign flips
+        exactly at b = sqrt(27) M, the textbook critical value."""
+        b_crit = np.sqrt(27.0)
+        for b, captured in ((4.0, True), (b_crit - 1e-3, True),
+                            (b_crit + 1e-3, False), (7.0, False)):
+            m = float(derived.capture_margin_length(
+                jnp.float64(b), 0.0, 1.0, 0.0
+            ))
+            assert (m > 0) == captured, (b, m)
+
+    def test_margin_length_matches_periapsis_height(self):
+        """For an escaping ray, |margin| ~ periapsis height above the
+        shell: at b = sqrt(27)(1+eps) the turning point of R sits at
+        r_t with R(r_t) = 0; check margin ~ -(r_t - 3M)."""
+        b = np.sqrt(27.0) * 1.01
+        m = float(derived.capture_margin_length(
+            jnp.float64(b), 0.0, 1.0, 0.0
+        ))
+        # outer root of r^4 - (r^2 - 2r) b^2 above 3M
+        roots = np.roots([1.0, 0.0, -b * b, 2 * b * b])
+        r_t = max(r.real for r in roots if abs(r.imag) < 1e-9)
+        np.testing.assert_allclose(-m, r_t - 3.0, rtol=0.15)
+
+    def test_margin_sign_matches_traced_outcomes_kerr(self):
+        """Margin sign vs the actual integrator on a Kerr a=0.9 ray
+        batch: every ingoing ray's capture/escape class must agree."""
+        from blackhole_tpu.geom.types import (
+            BlackHole, Camera, Disk, RayResult, Scene, SimConfig,
+        )
+        from blackhole_tpu.render import camera as cam
+        from blackhole_tpu.render import geodesic, trace
+
+        scene = Scene(
+            blackhole=BlackHole.create(1.0, 0.9),
+            disk=Disk.create(6.0, 20.0),
+            config=SimConfig.create(
+                time_step=0.1, max_ray_distance=150.0, max_steps=3000
+            ),
+            disk_enabled=False,
+        )
+        camera = Camera.create(
+            position=(0.0, -35.0, 12.0), direction=(0.0, 35.0, -12.0),
+            up=(0.0, 0.0, 1.0), fov_deg=16.0,
+        )
+        o, d = cam.generate_rays(camera, 24, 24)
+        o, d = o.reshape(-1, 3), d.reshape(-1, 3)
+        hit = trace.trace_rays(o, d, scene)
+        res = np.asarray(hit.result)
+        margin, valid = trace.compute_capture_margin(o, d, scene)
+        margin, valid = np.asarray(margin), np.asarray(valid)
+        captured = res == int(RayResult.HORIZON)
+        escaped = (res == int(RayResult.BACKGROUND)) | (
+            res == int(RayResult.MAX_DISTANCE)
+        )
+        # Exclude exact-boundary noise: |margin| > 0.02 M is decisive.
+        decisive = valid & (np.abs(margin) > 0.02)
+        assert (captured | escaped).all()
+        assert np.all(margin[decisive & escaped] < 0)
+        assert np.all(margin[decisive & captured] > 0)
+
+    def test_margin_differentiable_in_mass_and_spin(self):
+        import jax
+
+        for f in (
+            lambda m: derived.capture_margin_length(5.0, 1.0, m, 0.9 * m),
+            lambda s: derived.capture_margin_length(5.0, 1.0, 1.0, s),
+        ):
+            g = jax.grad(lambda x: f(x))(jnp.float64(1.0) * 0.9)
+            assert np.isfinite(float(g))

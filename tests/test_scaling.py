@@ -33,16 +33,16 @@ def test_two_shard_efficiency_at_least_85pct():
     assert recs[2]["eff_fwd_cpu"] >= 0.85, recs
 
 
-@pytest.mark.slow
 @pytest.mark.skipif(
     len(jax.devices()) < 2, reason="needs >= 2 (virtual) devices"
 )
 def test_two_shard_fwdbwd_efficiency_at_least_85pct():
-    """The fwd+bwd twin (VERDICT r3 #8): the sharded value_and_grad —
-    psum all-reduce included — must not cost more than ~15% extra
-    CPU-work per ray at mesh 2.  Wall efficiency is meaningless on the
-    2-core oversubscribed host (see module docstring), so per-CPU-second
-    is asserted; repeats=3 tames process_time noise."""
+    """The fwd+bwd twin (VERDICT r3 #8, promoted to the DEFAULT suite
+    in r5 per VERDICT r4 #4): the sharded value_and_grad — psum
+    all-reduce included — must not cost more than ~15% extra CPU-work
+    per ray at mesh 2.  Wall efficiency is meaningless on the 2-core
+    oversubscribed host (see module docstring), so per-CPU-second is
+    asserted; repeats=3 tames process_time noise."""
     out = bench_scaling.measure(
         width=96, height=96, steps=96, sizes=[1, 2], repeats=3,
         fwdbwd=True,

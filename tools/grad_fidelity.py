@@ -14,11 +14,13 @@ Run on TPU (fast) or CPU (slow, use GF_SIZE=64):
 Env: GF_SIZE (256), GF_SOFT (0.3), GF_STEPS (800), GF_ENGINE (auto),
      GF_CLIP (fast_grad.TANGENT_CLIP)
 
-History (d loss/d mass at m=1.03, failing direction, 256^2):
-  hard edge raw:        -0.56   (WRONG SIGN)
-  + guard + clip:       +0.002  (right sign, tiny)
-  + soft boundaries r3: +0.093  vs FD +0.127  (73%)
-  + crossing opacity r4: see output (target: within 15% of FD)
+History (AD/FD of d loss/d mass at m=1.03, failing direction, 256^2):
+  hard edge raw:          WRONG SIGN
+  + guard + clip:         right sign, tiny
+  + soft boundaries r3:   0.73
+  + crossing opacity r4:  0.70 (the 48^2 0.95 did not hold at scale)
+  + analytic margin r5:   0.98 / 1.03 (m=1.03 / m=0.98, clip 15) —
+    see PERF.md r5 section and tools/grad_decompose.py
 """
 
 from __future__ import annotations
