@@ -883,11 +883,16 @@ def trace_rays_pallas_fwdgrad(origins, directions, scene: Scene,
     out, douts = core(scal, tuple(dscals), inp, tuple(dinps))
 
     if _needs_L(scene):
-        def extract_L(inp_):
-            Lv = inp_[:, 5].reshape(-1)[:n]
-            return Lv[inv_order] if inv_order is not None else Lv
+        def L_fn(s, o_, d_):
+            # Caller-order conserved L, recomputed from the rays (see
+            # trace_rays_pallas: cheaper than un-permuting a slice of
+            # the kernel input planes, and CSEs with m_fn's init).
+            return geodesic.init_null_rays_aug(
+                o_, coords.normalize(d_), s.blackhole.mass,
+                s.blackhole.a, s.blackhole.charge
+            )[2]
 
-        L = extract_L(inp)
+        L = L_fn(scene, o0, d0)
 
         soft = float(scene.config.shadow_softness) > 0.0
         if soft:
@@ -911,18 +916,17 @@ def trace_rays_pallas_fwdgrad(origins, directions, scene: Scene,
 
         hit = post(out, scene, L, m_arr)
         dhits = []
-        for dout, ds, dinp, rtan in zip(
-            douts, scene_tangents, dinps, ray_tangents
-        ):
+        for dout, ds, rtan in zip(douts, scene_tangents, ray_tangents):
             # dL and dmargin ride the jvp so kerr-mode shading and the
             # analytic shadow boundary see their parameter tangents.
             if soft:
                 _, dm = jax.jvp(m_fn, (scene, o0, d0), rtan)
             else:
                 dm = jnp.zeros_like(m_arr)
+            _, dL = jax.jvp(L_fn, (scene, o0, d0), rtan)
             _, dhit = jax.jvp(
                 post, (out, scene, L, m_arr),
-                (dout, ds, extract_L(dinp), dm)
+                (dout, ds, dL, dm)
             )
             dhits.append(dhit)
         return hit, dhits
@@ -1212,6 +1216,7 @@ def trace_rays_pallas(origins, directions, scene: Scene,
     rows = _rows_for(interpret)
     o = jnp.asarray(origins, jnp.float32).reshape(-1, 3)
     d = jnp.asarray(directions, jnp.float32).reshape(-1, 3)
+    o0, d0 = o, d  # caller order
     inv_order = None
     if order is not None:
         o, d = o[order], d[order]
@@ -1225,18 +1230,19 @@ def trace_rays_pallas(origins, directions, scene: Scene,
     out = core(scal, inp)
     L = None
     if _needs_L(scene):
-        # Conserved L in the kernel's input planes, restored to the
-        # caller's order; differentiable (inp came from _prepare).
-        L = inp[:, 5].reshape(-1)[:n]
-        if inv_order is not None:
-            L = L[inv_order]
+        # Conserved L in the CALLER's order, recomputed directly from
+        # the unpermuted rays: a fusable elementwise chain that XLA
+        # CSEs with compute_capture_margin's init below.  (Slicing
+        # plane 5 out of the kernel's (grid, 16, rows, 128) input and
+        # un-permuting it measured ~4% of the whole forward render —
+        # a strided 64 MB slice + a 1M gather for 4 MB of values.)
+        bh = scene.blackhole
+        _, _, L, _ = geodesic.init_null_rays_aug(
+            o0, coords.normalize(d0), bh.mass, bh.a, bh.charge
+        )
     margin = None
     if float(scene.config.shadow_softness) > 0.0:
         # Analytic capture margin in the CALLER's order (computed from
         # the unpermuted rays, outside the kernel).
-        margin = trace.compute_capture_margin(
-            jnp.asarray(origins, jnp.float32).reshape(-1, 3),
-            jnp.asarray(directions, jnp.float32).reshape(-1, 3),
-            scene,
-        )
+        margin = trace.compute_capture_margin(o0, d0, scene)
     return _postprocess(out, n, batch_shape, scene, inv_order, L, margin)

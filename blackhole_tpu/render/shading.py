@@ -291,13 +291,16 @@ def shade_disk_hit(hit_pos, photon_dir, blackhole, disk, config, L=None):
     mode = getattr(config, "disk_kinematics", "auto")
     use_kerr = mode in ("auto", "kerr") and L is not None
 
-    # Compat factors (always defined; the non-equatorial fallback).
-    doppler_c = doppler_factor_relativistic(
-        hit_pos, photon_dir, blackhole.mass
-    )
-    r_sph = jnp.linalg.norm(hit_pos, axis=-1)
-    grav_c = derived.time_dilation(r_sph, blackhole.mass)
-    if use_kerr:
+    # When the inclination is CONCRETE at trace time (scene closed over
+    # a jit, or eager) the equatorial test is static and only ONE
+    # kinematic path is compiled; a traced inclination compiles both
+    # and selects per-batch with a where().
+    incl = jnp.asarray(disk.inclination)
+    concrete = not isinstance(incl, jax.core.Tracer)
+    equatorial = jnp.abs(jnp.sin(incl)) < 1e-6
+    static_eq = concrete and bool(jnp.all(equatorial))
+
+    def _kerr_factors():
         M = blackhole.mass
         a = blackhole.spin * M
         # Equatorial BL radius from the cylindrical one:
@@ -307,24 +310,33 @@ def shade_disk_hit(hit_pos, photon_dir, blackhole, disk, config, L=None):
         grav_k = derived.static_time_dilation_kerr(
             r_bl, M, a, blackhole.charge
         )
-        # Valid only for an equatorial disk; inclination is traced, so
-        # the selection is a runtime where() over the whole batch.
-        incl = jnp.asarray(disk.inclination)
-        equatorial = jnp.abs(jnp.sin(incl)) < 1e-6
-        if mode == "kerr" and not isinstance(incl, jax.core.Tracer):
-            if not bool(jnp.all(equatorial)):
-                from blackhole_tpu.utils import logging as bh_logging
+        return g * grav_k, grav_k
 
-                bh_logging.get_logger("shading").warning(
-                    "disk_kinematics='kerr' requested for an inclined "
-                    "disk: no circular equatorial geodesics off the "
-                    "equator — falling back to the compat "
-                    "(flat-space Keplerian) factors for this scene"
-                )
-        doppler = jnp.where(equatorial, g * grav_k, doppler_c)
+    def _compat_factors():
+        doppler_c = doppler_factor_relativistic(
+            hit_pos, photon_dir, blackhole.mass
+        )
+        r_sph = jnp.linalg.norm(hit_pos, axis=-1)
+        return doppler_c, derived.time_dilation(r_sph, blackhole.mass)
+
+    if use_kerr and concrete and not static_eq and mode == "kerr":
+        from blackhole_tpu.utils import logging as bh_logging
+
+        bh_logging.get_logger("shading").warning(
+            "disk_kinematics='kerr' requested for an inclined disk: "
+            "no circular equatorial geodesics off the equator — "
+            "falling back to the compat (flat-space Keplerian) "
+            "factors for this scene"
+        )
+    if use_kerr and static_eq:
+        doppler, grav = _kerr_factors()
+    elif use_kerr and not concrete:
+        doppler_k, grav_k = _kerr_factors()
+        doppler_c, grav_c = _compat_factors()
+        doppler = jnp.where(equatorial, doppler_k, doppler_c)
         grav = jnp.where(equatorial, grav_k, grav_c)
     else:
-        doppler, grav = doppler_c, grav_c
+        doppler, grav = _compat_factors()
     rgb = apply_relativistic_effects(
         rgb,
         doppler,
