@@ -85,7 +85,7 @@ BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "540"))
 # remaining budget exceeds its estimate.
 EST = {
     "rkf45_fwdbwd": float(os.environ.get("BENCH_EST_RKF45_FWDBWD", "80")),
-    "parity": float(os.environ.get("BENCH_EST_PARITY", "170")),
+    "parity": float(os.environ.get("BENCH_EST_PARITY", "195")),
     "rkf45_fwd_512": float(os.environ.get("BENCH_EST_RKF45_FWD", "35")),
 }
 

@@ -14,6 +14,7 @@ radii/mass).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from functools import partial
 from typing import Any
 
@@ -95,14 +96,28 @@ def image_loss(params: dict, target, template_scene: Scene,
 
 def make_train_step(optimizer: optax.GradientTransformation, width: int,
                     height: int):
-    """Returns jitted step(params, opt_state, target, tmpl_scene, tmpl_cam)
-    -> (params, opt_state, loss)."""
+    """Returns jitted step(params, opt_state, target, tmpl_scene,
+    tmpl_cam, mask=None) -> (params, opt_state, loss).
+
+    mask: optional pytree of TRACED 0/1 scalars multiplied into the
+    gradients — the freeze mechanism fit() uses.  Because it is traced
+    (and fit() injects the learning rate into the optimizer state),
+    every fit of the same image/step shapes shares ONE compiled train
+    step no matter which parameters are optimized or at what rate —
+    the previous static optax.masked chain recompiled the whole
+    reverse-mode render per (optimize, lr) combination (~40-60 s each
+    on the 2-core CPU test host)."""
 
     @partial(jax.jit, static_argnames=())
-    def step(params, opt_state, target, template_scene, template_camera):
+    def step(params, opt_state, target, template_scene, template_camera,
+             mask=None):
         loss, grads = jax.value_and_grad(image_loss)(
             params, target, template_scene, template_camera, width, height
         )
+        if mask is not None:
+            grads = jax.tree_util.tree_map(
+                lambda g, m: g * m, grads, mask
+            )
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
@@ -185,6 +200,15 @@ def fit_forward(
     return scene, camera, losses
 
 
+@functools.lru_cache(maxsize=None)
+def _fit_step(width: int, height: int):
+    """Memoized (optimizer, jitted step) for fit(): the learning rate
+    lives in the optimizer STATE (inject_hyperparams), so one compiled
+    step serves every fit at these image dimensions."""
+    optimizer = optax.inject_hyperparams(optax.adam)(learning_rate=1e-2)
+    return optimizer, make_train_step(optimizer, width, height)
+
+
 def fit(
     target,
     init_scene: Scene,
@@ -202,17 +226,27 @@ def fit(
     (scene, camera, losses).  For few-parameter fits on TPU prefer
     fit_forward (one multi-tangent kernel pass per step)."""
     params = pack_params(init_scene, init_camera)
-    mask = {k: (k in optimize) for k in params}
-    optimizer = optax.chain(
-        optax.masked(optax.adam(learning_rate), mask),
-        optax.masked(optax.set_to_zero(), {k: not v for k, v in mask.items()}),
-    )
+    # Traced 0/1 gradient mask + injected learning rate: frozen
+    # parameters see exactly-zero gradients (adam's moments stay zero,
+    # so their updates are exactly zero), and the compiled step is
+    # shared across every (optimize, learning_rate) combination — the
+    # (optimizer, jitted step) pair is memoized per (width, height), so
+    # e.g. the four fit convergence tests compile ONE train step
+    # instead of four (~40-60 s each on the 2-core CPU test host).
+    mask = {
+        k: jnp.asarray(float(k in optimize), jnp.asarray(v).dtype)
+        for k, v in params.items()
+    }
+    optimizer, step_fn = _fit_step(width, height)
     opt_state = optimizer.init(params)
-    step_fn = make_train_step(optimizer, width, height)
+    # inject_hyperparams: the rate is optimizer STATE, set per fit.
+    opt_state.hyperparams["learning_rate"] = jnp.asarray(
+        learning_rate, jnp.asarray(params["log_mass"]).dtype
+    )
     losses = []
     for i in range(steps):
         params, opt_state, loss = step_fn(
-            params, opt_state, target, init_scene, init_camera
+            params, opt_state, target, init_scene, init_camera, mask
         )
         losses.append(float(loss))
         if callback is not None:

@@ -296,9 +296,17 @@ def shade_disk_hit(hit_pos, photon_dir, blackhole, disk, config, L=None):
     # kinematic path is compiled; a traced inclination compiles both
     # and selects per-batch with a where().
     incl = jnp.asarray(disk.inclination)
-    concrete = not isinstance(incl, jax.core.Tracer)
     equatorial = jnp.abs(jnp.sin(incl)) < 1e-6
-    static_eq = concrete and bool(jnp.all(equatorial))
+    concrete = not isinstance(incl, jax.core.Tracer)
+    static_eq = False
+    if concrete:
+        try:
+            static_eq = bool(jnp.all(equatorial))
+        except jax.errors.TracerBoolConversionError:
+            # Ops on a non-Tracer can still stage under some trace
+            # contexts (e.g. inside jax.checkpoint's remat re-trace);
+            # treat as traced and compile the dual-path select.
+            concrete = False
 
     def _kerr_factors():
         M = blackhole.mass

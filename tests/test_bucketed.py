@@ -16,7 +16,7 @@ def setup():
         blackhole=BlackHole.create(1.0, 0.9),
         disk=Disk.create(6.0, 20.0),
         config=SimConfig.create(
-            time_step=0.1, max_ray_distance=80.0, max_steps=400
+            time_step=0.1, max_ray_distance=80.0, max_steps=128
         ),
         disk_enabled=True,
     )
@@ -67,7 +67,7 @@ def test_bucketed_matches_full():
         )
     # Buckets drawn from the ladder only (at this tiny resolution every
     # chunk may straddle the shadow edge and use the full budget).
-    assert set(cache) <= set(bucketed._buckets_for(400)), cache
+    assert set(cache) <= set(bucketed._buckets_for(128)), cache
 
 
 def test_cache_reused_across_calls():

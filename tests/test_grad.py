@@ -19,7 +19,7 @@ from blackhole_tpu.grad import diff_trace, inverse
 from blackhole_tpu.render import image as image_mod
 
 
-def small_scene(spin=0.5, dtype=jnp.float64, max_steps=300):
+def small_scene(spin=0.5, dtype=jnp.float64, max_steps=150):
     return Scene(
         blackhole=BlackHole.create(1.0, spin, dtype=dtype),
         disk=Disk.create(6.0, 20.0, dtype=dtype),
@@ -63,7 +63,7 @@ def test_pixel_gradients_match_finite_differences(param):
     def loss(v):
         bh = dataclasses.replace(scene.blackhole, **{param: v})
         s = dataclasses.replace(scene, blackhole=bh)
-        return jnp.mean(diff_trace.render_image_diff(s, camera, 12, 12))
+        return jnp.mean(diff_trace.render_image_diff(s, camera, 8, 8))
 
     v0 = jnp.float64(1.0 if param == "mass" else 0.5)
     g = jax.grad(loss)(v0)
@@ -80,7 +80,7 @@ def test_gradients_finite_at_high_spin():
         bh = dataclasses.replace(scene.blackhole, spin=spin)
         return jnp.mean(
             diff_trace.render_image_diff(
-                dataclasses.replace(scene, blackhole=bh), camera, 8, 8
+                dataclasses.replace(scene, blackhole=bh), camera, 6, 6
             )
         )
 
@@ -243,7 +243,7 @@ def test_near_critical_tangents_are_finite_and_bounded(engine):
         blackhole=BlackHole.create(1.0, 0.0, dtype=jnp.float32),
         disk=Disk.create(6.0, 20.0, dtype=jnp.float32),
         config=SimConfig.create(
-            time_step=0.1, max_ray_distance=150.0, max_steps=1500,
+            time_step=0.1, max_ray_distance=150.0, max_steps=500,
             dtype=jnp.float32,
         ),
         disk_enabled=True,
@@ -401,7 +401,7 @@ def test_near_critical_reverse_gradients_are_finite():
         blackhole=BlackHole.create(1.0, 0.0, dtype=jnp.float32),
         disk=Disk.create(6.0, 20.0, dtype=jnp.float32),
         config=SimConfig.create(
-            time_step=0.1, max_ray_distance=150.0, max_steps=1500,
+            time_step=0.1, max_ray_distance=150.0, max_steps=500,
             dtype=jnp.float32,
         ),
         disk_enabled=True,

@@ -254,7 +254,7 @@ def test_inverse_recovers_charge():
         blackhole=BlackHole.create(1.0, 0.0, 0.6),
         disk=Disk.create(6.0, 20.0),
         config=SimConfig.create(
-            time_step=0.1, max_ray_distance=80.0, max_steps=300,
+            time_step=0.1, max_ray_distance=80.0, max_steps=200,
         ),
         disk_enabled=True,
     )
@@ -264,12 +264,12 @@ def test_inverse_recovers_charge():
         up=(0.0, 0.0, 1.0),
         fov_deg=25.0,
     )
-    target = diff_trace.render_image_diff(true_scene, camera, 24, 24)
+    target = diff_trace.render_image_diff(true_scene, camera, 16, 16)
     start = dataclasses.replace(
         true_scene, blackhole=BlackHole.create(1.0, 0.0, 0.15)
     )
     fitted, _, losses = inverse.fit_forward(
-        target, start, camera, 24, 24, steps=40, learning_rate=5e-2,
+        target, start, camera, 16, 16, steps=40, learning_rate=5e-2,
         optimize=("charge_raw",), interpret=True,
     )
     assert losses[-1] < 0.1 * losses[0], losses

@@ -66,12 +66,12 @@ def test_static_dilation_kerr_matches_schwarzschild():
     )  # equatorial g_tt is spin-independent in BL coordinates
 
 
-def _scene(kin, m=1.0, spin=0.9):
+def _scene(kin, m=1.0, spin=0.9, max_steps=150):
     return Scene(
         blackhole=BlackHole.create(m, spin),
         disk=Disk.create(6.0, 20.0),
         config=SimConfig.create(
-            time_step=0.1, max_ray_distance=80.0, max_steps=150,
+            time_step=0.1, max_ray_distance=80.0, max_steps=max_steps,
             disk_kinematics=kin,
         ),
         disk_enabled=True,
@@ -106,8 +106,11 @@ def test_kerr_mode_changes_disk_colors_only():
 def test_kerr_mode_engine_parity_and_grad():
     from blackhole_tpu.render import pallas_kernel
 
+    # 64 steps: the jvp through the interpret-mode kernel dominates the
+    # suite budget at 150 (~280 s on the 2-core host); the kerr-shading
+    # parity + spin-gradient agreement it pins survive at this depth.
     o, d = _rays(8)
-    s = _scene("kerr")
+    s = _scene("kerr", max_steps=64)
     hx = trace.trace_rays(o, d, s)
     hp = pallas_kernel.trace_rays_pallas(o, d, s, interpret=True)
     np.testing.assert_allclose(

@@ -140,17 +140,26 @@ def test_pallas_rkf45_matches_while_loop(spin, disk):
     assert float(np.percentile(dc, 99)) < 3e-2
 
 
+@pytest.mark.slow
 def test_pallas_fast_grad_value_and_grad():
     """grad.fast_grad drives one jvp per scalar through the kernel and
-    must reproduce reverse-mode gradients for a params pytree."""
+    must reproduce reverse-mode gradients for a params pytree.
+
+    slow: the value_and_grad_fwd DRIVER is what this adds; its
+    single-tangent kernel path keeps default coverage via
+    test_kerr_shading.test_kerr_mode_engine_parity_and_grad and
+    test_grad.test_near_critical_tangents_are_finite_and_bounded
+    (both jvp through the same tangent-augmented kernel), and the
+    multi-tangent driver (the bench headline path) stays default in
+    test_pallas_multi_tangent_value_and_grad."""
     import dataclasses
 
     import jax
 
     from blackhole_tpu.grad import diff_trace, fast_grad
 
-    scene, o, d = make_case(0.9, True, max_steps=150)
-    o, d = o[:256], d[:256]
+    scene, o, d = make_case(0.9, True, max_steps=80)
+    o, d = o[:128], d[:128]
 
     def build(p):
         return dataclasses.replace(
@@ -170,8 +179,8 @@ def test_pallas_fast_grad_value_and_grad():
         return jnp.sum(hit.color) / hit.color.size
 
     p0 = {"mass": jnp.float32(1.0), "spin": jnp.float32(0.9)}
-    v1, g1 = fast_grad.value_and_grad_fwd(loss_fwd)(p0)
-    v2, g2 = jax.value_and_grad(loss_rev)(p0)
+    v1, g1 = jax.jit(fast_grad.value_and_grad_fwd(loss_fwd))(p0)
+    v2, g2 = jax.jit(jax.value_and_grad(loss_rev))(p0)
     np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
     np.testing.assert_allclose(
         float(g1["mass"]), float(g2["mass"]), rtol=1e-3, atol=1e-8
@@ -192,8 +201,8 @@ def test_pallas_multi_tangent_value_and_grad():
 
     from blackhole_tpu.grad import diff_trace, fast_grad
 
-    scene, o, d = make_case(0.9, True, max_steps=100)
-    o, d = o[:128], d[:128]
+    scene, o, d = make_case(0.9, True, max_steps=48)
+    o, d = o[:64], d[:64]
 
     def scene_fn(p):
         return dataclasses.replace(
@@ -209,7 +218,9 @@ def test_pallas_multi_tangent_value_and_grad():
     vg = fast_grad.scene_value_and_grad(loss_of_hit, scene_fn,
                                         interpret=True)
     p0 = {"mass": jnp.float32(1.0), "spin": jnp.float32(0.9)}
-    v1, g1 = vg(p0, o, d)
+    # jit the whole pass: the fwdgrad driver is eager python around the
+    # interpret kernel, and eager per-op dispatch costs ~40 s here.
+    v1, g1 = jax.jit(lambda p: vg(p, o, d))(p0)
     v2, g2 = jax.value_and_grad(
         lambda p: loss_of_hit(diff_trace.trace_rays_diff(o, d, scene_fn(p)))
     )(p0)

@@ -44,7 +44,7 @@ def test_two_shard_fwdbwd_efficiency_at_least_85pct():
     oversubscribed host (see module docstring), so per-CPU-second is
     asserted; repeats=3 tames process_time noise."""
     out = bench_scaling.measure(
-        width=96, height=96, steps=96, sizes=[1, 2], repeats=3,
+        width=80, height=80, steps=96, sizes=[1, 2], repeats=2,
         fwdbwd=True,
     )
     recs = {r["mesh"]: r for r in out["records"]}
